@@ -9,7 +9,10 @@ initializes, hence this module-level code.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Overwrite (not setdefault): the session env pins JAX_PLATFORMS=axon (the
+# real TPU tunnel), which is slow and single-chip; unit tests always run on
+# the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the env var; undo it before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,155 @@
+"""Unit tests for batched two-view geometry and RANSAC verification."""
+
+import jax
+import numpy as np
+import pytest
+
+from vit_colmap_tpu.database.colmap_db import TWO_VIEW_CONFIG
+from vit_colmap_tpu.ops.ransac import estimate_two_view
+from vit_colmap_tpu.sfm import geometry as geom
+
+
+def make_two_view(n=100, noise=0.0, seed=0, planar=False):
+    """Synthesize a calibrated two-view scene; returns pixel correspondences."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    if planar:
+        X = np.concatenate(
+            [rng.uniform(-1, 1, (n, 2)), np.full((n, 1), 4.0)], axis=1
+        )
+    else:
+        X = np.concatenate(
+            [rng.uniform(-1, 1, (n, 2)), rng.uniform(3.0, 6.0, (n, 1))], axis=1
+        )
+    angle = 0.15
+    R = np.array(
+        [
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ]
+    )
+    t = np.array([0.5, 0.05, 0.02])
+
+    def project(P, X):
+        x = (P[:, :3] @ X.T).T + P[:, 3]
+        return (K @ x.T).T[:, :2] / (K @ x.T).T[:, 2:]
+
+    P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    P2 = np.concatenate([R, t[:, None]], axis=1)
+    x1 = project(P1, X) + noise * rng.standard_normal((n, 2))
+    x2 = project(P2, X) + noise * rng.standard_normal((n, 2))
+    return x1.astype(np.float32), x2.astype(np.float32), K, R, t, X
+
+
+def test_fundamental_fit_on_clean_points():
+    x1, x2, K, R, t, _ = make_two_view(60)
+    F = np.asarray(geom.fit_fundamental(x1[None], x2[None])[0])
+    err = np.asarray(geom.sampson_error(F[None], x1[None], x2[None])[0])
+    assert np.median(err) < 1e-2, np.median(err)
+
+
+def test_homography_fit_on_planar_points():
+    x1, x2, *_ = make_two_view(40, planar=True)
+    H = np.asarray(geom.fit_homography(x1[None], x2[None])[0])
+    err = np.asarray(geom.homography_error(H[None], x1[None], x2[None])[0])
+    assert np.median(err) < 1e-2, np.median(err)
+
+
+def test_triangulate_recovers_points():
+    x1, x2, K, R, t, X = make_two_view(30)
+    P1 = K @ np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    P2 = K @ np.concatenate([R, t[:, None]], axis=1)
+    Xh = np.asarray(geom.triangulate(P1[None], P2[None], x1[None], x2[None])[0])
+    np.testing.assert_allclose(Xh, X, atol=1e-2)
+
+
+def test_recover_pose_from_essential():
+    x1, x2, K, R, t, _ = make_two_view(80)
+    x1n = (x1 - K[:2, 2]) / np.diag(K)[:2]
+    x2n = (x2 - K[:2, 2]) / np.diag(K)[:2]
+    E_true = np.cross(np.eye(3), t) @ R  # [t]x R with skew via cross trick
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_true = tx @ R
+    mask = np.ones(80, bool)
+    R_est, t_est = geom.recover_pose_from_E(
+        E_true[None], x1n[None], x2n[None], mask[None]
+    )
+    R_est, t_est = np.asarray(R_est[0]), np.asarray(t_est[0])
+    np.testing.assert_allclose(R_est, R, atol=1e-4)
+    t_dir = t / np.linalg.norm(t)
+    np.testing.assert_allclose(np.abs(t_est @ t_dir), 1.0, atol=1e-4)
+
+
+def test_qvec_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = np.asarray(geom.qvec_to_rotmat(q))
+        q2 = np.asarray(geom.rotmat_to_qvec(R))
+        np.testing.assert_allclose(q2, q, atol=1e-5)
+
+
+def test_ransac_two_view_with_outliers():
+    x1, x2, K, *_ = make_two_view(150, noise=0.3, seed=1)
+    rng = np.random.default_rng(2)
+    n_out = 50
+    x1o = np.concatenate([x1, rng.uniform(0, 640, (n_out, 2)).astype(np.float32)])
+    x2o = np.concatenate([x2, rng.uniform(0, 480, (n_out, 2)).astype(np.float32)])
+    # pad to fixed K_max
+    K_max = 256
+    pad = K_max - len(x1o)
+    pts1 = np.concatenate([x1o, np.zeros((pad, 2), np.float32)])
+    pts2 = np.concatenate([x2o, np.zeros((pad, 2), np.float32)])
+    mask = np.zeros(K_max, bool)
+    mask[: len(x1o)] = True
+    res = estimate_two_view(
+        pts1,
+        pts2,
+        mask,
+        K.astype(np.float32),
+        K.astype(np.float32),
+        np.bool_(True),
+        jax.random.key(0),
+        iters=512,
+        max_error_px=4.0,
+    )
+    inl = np.asarray(res.inlier_mask)
+    assert int(res.num_inliers) >= 120, int(res.num_inliers)
+    # Most recovered inliers are true inliers.
+    assert inl[:150].sum() >= 120
+    assert inl[150:200].sum() <= 10
+    assert int(res.config) == TWO_VIEW_CONFIG["CALIBRATED"]
+
+
+def test_ransac_planar_classified():
+    x1, x2, K, *_ = make_two_view(120, noise=0.2, seed=3, planar=True)
+    K_max = 128
+    pad = K_max - len(x1)
+    pts1 = np.concatenate([x1, np.zeros((pad, 2), np.float32)])
+    pts2 = np.concatenate([x2, np.zeros((pad, 2), np.float32)])
+    mask = np.zeros(K_max, bool)
+    mask[: len(x1)] = True
+    res = estimate_two_view(
+        pts1, pts2, mask,
+        K.astype(np.float32), K.astype(np.float32),
+        np.bool_(True), jax.random.key(1), iters=512,
+    )
+    assert int(res.config) == TWO_VIEW_CONFIG["PLANAR_OR_PANORAMIC"]
+
+
+def test_ransac_degenerate_few_points():
+    rng = np.random.default_rng(5)
+    K = np.eye(3, dtype=np.float32) * 100
+    K[2, 2] = 1
+    pts1 = rng.uniform(0, 100, (64, 2)).astype(np.float32)
+    pts2 = rng.uniform(0, 100, (64, 2)).astype(np.float32)
+    mask = np.zeros(64, bool)
+    mask[:10] = True  # too few for min_num_inliers=15
+    res = estimate_two_view(
+        pts1, pts2, mask, K, K, np.bool_(False), jax.random.key(2), iters=128
+    )
+    assert int(res.config) == TWO_VIEW_CONFIG["DEGENERATE"]

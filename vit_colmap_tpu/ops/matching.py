@@ -1,0 +1,104 @@
+"""Exhaustive descriptor matching as batched XLA/MXU programs.
+
+Replaces the reference's native ``pycolmap.match_exhaustive`` (invoked at
+``pipeline/run_pipeline.py:356-363``; semantics configured at
+``utils/config.py:54-96``) with a TPU-native design:
+
+* descriptors of ALL images are padded to a fixed ``(num_images, N_max, D)``
+  tensor with validity masks (ragged counts -> static shapes, SURVEY.md §7),
+* each image pair is one row of a batched similarity matmul that runs on the
+  MXU, followed by top-2 selection and COLMAP-compatible ratio / distance /
+  cross-check filtering,
+* pairs are vmapped into a single program and sharded across chips over a
+  ``pairs`` mesh axis (see ``vit_colmap_tpu.parallel``).
+
+COLMAP-matching semantics reproduced (SiftMatchingOptions): descriptors are
+L2-normalized; similarity is the cosine dot product; the descriptor distance
+is the *angular* distance ``acos(sim)``; a match is kept iff
+``acos(best) <= max_distance`` and ``acos(best) <= max_ratio * acos(second)``
+and (optionally) it is a mutual nearest neighbor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_descriptors(desc: jax.Array) -> jax.Array:
+    """uint8/float descriptors -> L2-normalized float32 rows."""
+    d = desc.astype(jnp.float32)
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / jnp.maximum(norm, 1e-8)
+
+
+@partial(jax.jit, static_argnames=("cross_check",))
+def match_pair(
+    d1: jax.Array,  # (N, D) float32, L2-normalized rows
+    d2: jax.Array,  # (M, D) float32, L2-normalized rows
+    valid1: jax.Array,  # (N,) bool
+    valid2: jax.Array,  # (M,) bool
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+) -> jax.Array:
+    """Match one padded descriptor pair.
+
+    Returns (N,) int32: for each keypoint in image 1 the matched index in
+    image 2, or -1.  Fixed output shape; the host compacts to (R, 2).
+    """
+    # (N, M) cosine similarity — the MXU-heavy op.
+    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+    neg = jnp.float32(-2.0)
+    sim = jnp.where(valid2[None, :], sim, neg)
+
+    top2, idx2 = jax.lax.top_k(sim, 2)
+    best_sim, second_sim = top2[:, 0], top2[:, 1]
+    best_idx = idx2[:, 0]
+
+    # Angular distances (COLMAP's acos metric on normalized descriptors).
+    dist_best = jnp.arccos(jnp.clip(best_sim, -1.0, 1.0))
+    dist_second = jnp.arccos(jnp.clip(second_sim, -1.0, 1.0))
+
+    keep = valid1
+    keep &= dist_best <= max_distance
+    keep &= dist_best <= max_ratio * dist_second
+
+    if cross_check:
+        sim_t = jnp.where(valid1[:, None], sim, neg)
+        best21 = jnp.argmax(sim_t, axis=0)  # (M,) best row for each column
+        n = d1.shape[0]
+        mutual = best21[best_idx] == jnp.arange(n, dtype=best21.dtype)
+        keep &= mutual
+
+    return jnp.where(keep, best_idx, -1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cross_check",))
+def match_pairs_batched(
+    d1: jax.Array,  # (P, N, D)
+    d2: jax.Array,  # (P, M, D)
+    valid1: jax.Array,  # (P, N)
+    valid2: jax.Array,  # (P, M)
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+) -> jax.Array:
+    """vmap of :func:`match_pair` over a batch of image pairs -> (P, N)."""
+    fn = partial(
+        match_pair,
+        max_ratio=max_ratio,
+        max_distance=max_distance,
+        cross_check=cross_check,
+    )
+    return jax.vmap(fn)(d1, d2, valid1, valid2)
+
+
+def compact_matches(match_idx: np.ndarray, n_valid1: int) -> np.ndarray:
+    """Host-side: (N,) row->col match indices with -1 padding -> (R, 2) uint32."""
+    match_idx = np.asarray(match_idx[:n_valid1])
+    rows = np.nonzero(match_idx >= 0)[0]
+    return np.stack([rows, match_idx[rows]], axis=1).astype(np.uint32)

@@ -1,0 +1,251 @@
+"""Batched multi-view geometry primitives in JAX.
+
+Replaces the geometric estimation that the reference delegates to COLMAP's
+C++ (two-view verification inside ``pycolmap.match_exhaustive`` and the
+mapper's triangulation, SURVEY.md §2.3) with vectorized, jit-friendly
+implementations: every estimator works on a *batch* of minimal samples so
+RANSAC hypotheses evaluate as single fused XLA programs (eigh/matmul map
+onto MXU/VPU; no data-dependent control flow).
+
+Conventions: points are (..., 2) pixel or normalized image coordinates;
+homogeneous math is carried out explicitly.  Null spaces are computed via
+``eigh`` of AᵀA (9x9) instead of SVD of A — symmetric eigendecomposition is
+cheaper and better supported batched on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _homog(pts: jax.Array) -> jax.Array:
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def normalize_points(pts: jax.Array, weights: jax.Array):
+    """Hartley normalization with per-point weights (masked points weight 0).
+
+    Returns (normalized points, 3x3 transform T) such that x_norm = T @ x.
+    """
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1e-8)
+    mean = jnp.sum(pts * w, axis=-2, keepdims=True) / wsum
+    centered = pts - mean
+    rms = jnp.sqrt(
+        jnp.sum(jnp.sum(centered**2, axis=-1, keepdims=True) * w, axis=-2, keepdims=True)
+        / wsum.squeeze(-1)[..., None]
+    )
+    scale = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-8)
+    normed = centered * scale
+    s = scale[..., 0, 0]
+    mx, my = mean[..., 0, 0], mean[..., 0, 1]
+    zeros = jnp.zeros_like(s)
+    ones = jnp.ones_like(s)
+    T = jnp.stack(
+        [
+            jnp.stack([s, zeros, -s * mx], axis=-1),
+            jnp.stack([zeros, s, -s * my], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    return normed, T
+
+
+def _nullspace_9(A: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """Right-singular vector of the smallest singular value of batched
+    A (..., n, 9) -> (..., 9).  Direct SVD of A (not eigh of AᵀA): squaring
+    the condition number is not affordable in float32.
+    """
+    if weights is not None:
+        A = A * weights[..., None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[..., 8, :]
+
+
+def fit_fundamental(pts1: jax.Array, pts2: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """Normalized 8-point algorithm, batched.
+
+    pts1/pts2: (..., n>=8, 2); weights: optional (..., n) for weighted fits
+    (used for inlier refits).  Returns (..., 3, 3) rank-2 F in input coords.
+    """
+    w = weights if weights is not None else jnp.ones(pts1.shape[:-1])
+    p1n, T1 = normalize_points(pts1, w)
+    p2n, T2 = normalize_points(pts2, w)
+    x1, y1 = p1n[..., 0], p1n[..., 1]
+    x2, y2 = p2n[..., 0], p2n[..., 1]
+    ones = jnp.ones_like(x1)
+    # Epipolar constraint rows: x2ᵀ F x1 = 0.
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
+    )
+    f = _nullspace_9(A, w)
+    F = f.reshape(*f.shape[:-1], 3, 3)
+    # Enforce rank 2 (3x3 SVD, batched).
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    F = U @ (S[..., None] * Vt)
+    # Denormalize: F = T2ᵀ F_norm T1.
+    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
+    # Scale-normalize for numerical comparability.
+    norm = jnp.linalg.norm(F.reshape(*F.shape[:-2], 9), axis=-1)[..., None, None]
+    return F / jnp.maximum(norm, 1e-12)
+
+
+def fit_homography(pts1: jax.Array, pts2: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """Normalized DLT homography (>=4 points), batched -> (..., 3, 3)."""
+    w = weights if weights is not None else jnp.ones(pts1.shape[:-1])
+    p1n, T1 = normalize_points(pts1, w)
+    p2n, T2 = normalize_points(pts2, w)
+    x1, y1 = p1n[..., 0], p1n[..., 1]
+    x2, y2 = p2n[..., 0], p2n[..., 1]
+    zeros = jnp.zeros_like(x1)
+    ones = jnp.ones_like(x1)
+    # Two rows per correspondence.
+    r1 = jnp.stack(
+        [x1, y1, ones, zeros, zeros, zeros, -x2 * x1, -x2 * y1, -x2], axis=-1
+    )
+    r2 = jnp.stack(
+        [zeros, zeros, zeros, x1, y1, ones, -y2 * x1, -y2 * y1, -y2], axis=-1
+    )
+    A = jnp.concatenate([r1, r2], axis=-2)
+    w2 = jnp.concatenate([w, w], axis=-1)
+    h = _nullspace_9(A, w2)
+    H = h.reshape(*h.shape[:-1], 3, 3)
+    H = jnp.linalg.inv(T2) @ H @ T1
+    return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) > 1e-8, H[..., 2:3, 2:3], 1e-8)
+
+
+def fit_essential(pts1n: jax.Array, pts2n: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """8-point essential matrix on *normalized* (K⁻¹) coordinates, batched.
+
+    Projects the linear solution onto the essential manifold
+    (singular values (s, s, 0)).
+    """
+    F = fit_fundamental(pts1n, pts2n, weights)
+    U, S, Vt = jnp.linalg.svd(F)
+    s = (S[..., 0] + S[..., 1]) / 2.0
+    S_e = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
+    return U @ (S_e[..., None] * Vt)
+
+
+def sampson_error(F: jax.Array, pts1: jax.Array, pts2: jax.Array) -> jax.Array:
+    """Squared Sampson distance for F (..., 3, 3), pts (..., n, 2) -> (..., n)."""
+    x1 = _homog(pts1)
+    x2 = _homog(pts2)
+    Fx1 = jnp.einsum("...ij,...nj->...ni", F, x1)
+    Ftx2 = jnp.einsum("...ji,...nj->...ni", F, x2)
+    x2Fx1 = jnp.sum(x2 * Fx1, axis=-1)
+    denom = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    return x2Fx1**2 / jnp.maximum(denom, 1e-12)
+
+
+def homography_error(H: jax.Array, pts1: jax.Array, pts2: jax.Array) -> jax.Array:
+    """Squared forward-transfer error ‖H x1 - x2‖² -> (..., n)."""
+    x1 = _homog(pts1)
+    Hx1 = jnp.einsum("...ij,...nj->...ni", H, x1)
+    proj = Hx1[..., :2] / jnp.where(
+        jnp.abs(Hx1[..., 2:]) > 1e-8, Hx1[..., 2:], 1e-8
+    )
+    return jnp.sum((proj - pts2) ** 2, axis=-1)
+
+
+def decompose_essential(E: jax.Array):
+    """E -> four (R, t) candidates, batched. Returns R (..., 4, 3, 3), t (..., 4, 3)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Ensure proper rotations.
+    detU = jnp.linalg.det(U)[..., None, None]
+    detV = jnp.linalg.det(Vt)[..., None, None]
+    U = U * jnp.concatenate(
+        [jnp.ones_like(detU), jnp.ones_like(detU), detU], axis=-1
+    )
+    Vt = Vt * jnp.concatenate(
+        [jnp.ones_like(detV), jnp.ones_like(detV), detV], axis=-2
+    )
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return Rs, ts
+
+
+def triangulate(P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array) -> jax.Array:
+    """DLT triangulation, batched: P (..., 3, 4), pts (..., n, 2) -> (..., n, 3)."""
+    def rows(P, pts):
+        # x * P[2] - P[0]; y * P[2] - P[1]
+        r0 = pts[..., 0:1] * P[..., None, 2, :] - P[..., None, 0, :]
+        r1 = pts[..., 1:2] * P[..., None, 2, :] - P[..., None, 1, :]
+        return jnp.stack([r0, r1], axis=-2)  # (..., n, 2, 4)
+
+    A = jnp.concatenate([rows(P1, pts1), rows(P2, pts2)], axis=-2)  # (..., n, 4, 4)
+    # Row-normalize for conditioning, then direct SVD nullspace.
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    _, _, Vt = jnp.linalg.svd(A)
+    X = Vt[..., 3, :]
+    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) > 1e-10, X[..., 3:], 1e-10)
+
+
+def cheirality_count(R: jax.Array, t: jax.Array, pts1n: jax.Array, pts2n: jax.Array, mask: jax.Array) -> jax.Array:
+    """Count points in front of both cameras for pose (R, t), batched."""
+    eye = jnp.broadcast_to(jnp.eye(3, 4), (*R.shape[:-2], 3, 4))
+    P2 = jnp.concatenate([R, t[..., None]], axis=-1)
+    X = triangulate(eye, P2, pts1n, pts2n)
+    z1 = X[..., 2]
+    X2 = jnp.einsum("...ij,...nj->...ni", R, X) + t[..., None, :]
+    z2 = X2[..., 2]
+    ok = (z1 > 1e-4) & (z2 > 1e-4) & mask
+    return jnp.sum(ok, axis=-1)
+
+
+def recover_pose_from_E(E: jax.Array, pts1n: jax.Array, pts2n: jax.Array, mask: jax.Array):
+    """Pick the (R, t) with maximal cheirality support -> R (...,3,3), t (...,3)."""
+    Rs, ts = decompose_essential(E)  # (..., 4, 3, 3), (..., 4, 3)
+    counts = jax.vmap(cheirality_count, in_axes=(-3, -2, None, None, None), out_axes=-1)(
+        Rs, ts, pts1n, pts2n, mask
+    )
+    best = jnp.argmax(counts, axis=-1)
+    R = jnp.take_along_axis(Rs, best[..., None, None, None], axis=-3).squeeze(-3)
+    t = jnp.take_along_axis(ts, best[..., None, None], axis=-2).squeeze(-2)
+    return R, t
+
+
+def rotmat_to_qvec(R: jax.Array) -> jax.Array:
+    """Rotation matrix -> quaternion (w, x, y, z), batched, branch-free.
+
+    Uses the robust 4-candidate construction (select the largest diagonal
+    combination) so it is safe under vmap/jit.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    t0 = 1.0 + m00 + m11 + m22  # 4w^2
+    t1 = 1.0 + m00 - m11 - m22  # 4x^2
+    t2 = 1.0 - m00 + m11 - m22  # 4y^2
+    t3 = 1.0 - m00 - m11 + m22  # 4z^2
+    c0 = jnp.stack([t0, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    c1 = jnp.stack([m21 - m12, t1, m01 + m10, m02 + m20], axis=-1)
+    c2 = jnp.stack([m02 - m20, m01 + m10, t2, m12 + m21], axis=-1)
+    c3 = jnp.stack([m10 - m01, m02 + m20, m12 + m21, t3], axis=-1)
+    cands = jnp.stack([c0, c1, c2, c3], axis=-2)  # (..., 4, 4)
+    ts = jnp.stack([t0, t1, t2, t3], axis=-1)
+    best = jnp.argmax(ts, axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None], axis=-2).squeeze(-2)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def qvec_to_rotmat(q: jax.Array) -> jax.Array:
+    """Quaternion (w, x, y, z) -> rotation matrix, batched."""
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x**2 + z**2), 2 * (y * z - w * x)], axis=-1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x**2 + y**2)], axis=-1),
+        ],
+        axis=-2,
+    )

@@ -1,0 +1,178 @@
+"""Unified configuration system.
+
+Mirrors the reference's dataclass-tree config (``vit_colmap/utils/config.py:
+10-198``: LogConfig/CameraConfig/MatchingConfig/ReconstructionConfig/
+ExtractorConfig + ``Config.from_args``/``summary``) but converts into this
+framework's own option structs rather than pycolmap's, and adds TPU-specific
+knobs (device mesh shape, batching, dtype).  Unlike the reference, training
+shares the same config tree (``TrainingConfig``) instead of a parallel
+argparse namespace (SURVEY.md section 5 "config" note).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+
+@dataclass
+class LogConfig:
+    """Logging configuration (format matches the reference's)."""
+
+    level: int = logging.INFO
+    format: str = "[%(asctime)s][%(filename)s:%(lineno)d][%(levelname)s] %(message)s"
+    datefmt: str = "%H:%M:%S"
+
+    def apply(self) -> None:
+        logging.basicConfig(
+            level=self.level, format=self.format, datefmt=self.datefmt, force=True
+        )
+
+
+@dataclass
+class CameraConfig:
+    """Camera model configuration (reference ``utils/config.py:29-51``,
+    extended with SIMPLE_RADIAL/RADIAL defaults used by
+    ``trainable_vit_extractor.py:324-340``)."""
+
+    model: str = "SIMPLE_PINHOLE"
+    width: Optional[int] = None
+    height: Optional[int] = None
+    params: Optional[list[float]] = None
+
+    def get_default_params(self, width: int, height: int) -> list[float]:
+        if self.params is not None:
+            return self.params
+        f = float(max(width, height))
+        cx, cy = width / 2.0, height / 2.0
+        if self.model == "SIMPLE_PINHOLE":
+            return [f, cx, cy]
+        if self.model == "PINHOLE":
+            return [f, f, cx, cy]
+        if self.model == "SIMPLE_RADIAL":
+            return [f, cx, cy, 0.0]
+        if self.model == "RADIAL":
+            return [f, cx, cy, 0.0, 0.0]
+        raise ValueError(f"Unsupported camera model: {self.model}")
+
+
+@dataclass
+class MatchingConfig:
+    """Exhaustive-matching configuration.
+
+    Semantics follow COLMAP's SIFT matcher defaults that the reference relies
+    on (``utils/config.py:54-96``): Lowe ratio test 0.8, max descriptor
+    distance 0.7, mutual cross-check.  Device knobs are TPU-native additions.
+    """
+
+    max_ratio: float = 0.8
+    max_distance: float = 0.7
+    cross_check: bool = True
+    max_num_matches: int = 32768
+    # TPU execution knobs
+    pair_batch: int = 16  # image pairs matched per device program
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    # Geometric verification
+    do_verification: bool = True
+    ransac_max_error_px: float = 4.0
+    ransac_iters: int = 1024
+    ransac_confidence: float = 0.999
+    min_num_inliers: int = 15
+
+
+@dataclass
+class ReconstructionConfig:
+    """Incremental-mapper configuration (reference ``utils/config.py:100-112``)."""
+
+    min_num_matches: int = 15
+    multiple_models: bool = True
+    max_models: int = 50
+    ba_local_iters: int = 25
+    ba_global_iters: int = 50
+    ba_refine_focal: bool = True
+    min_triangulation_angle_deg: float = 1.5
+    filter_max_reproj_error_px: float = 4.0
+
+
+@dataclass
+class ExtractorConfig:
+    """Feature extractor configuration (reference ``utils/config.py:116-120``).
+
+    extractor_type: one of ``dummy | colmap_sift | sift | vit | trainable_vit |
+    hybrid`` ("colmap_sift" maps to the in-repo JAX SIFT since no native COLMAP
+    is linked; alias kept for CLI parity).
+    """
+
+    extractor_type: str = "vit"
+    vit_weights_path: Optional[str] = None
+    backbone: str = "vitb14"
+    max_keypoints: int = 4096
+    image_batch: int = 4  # images per device program
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class Config:
+    """Main pipeline configuration."""
+
+    log: LogConfig = field(default_factory=LogConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    reconstruction: ReconstructionConfig = field(default_factory=ReconstructionConfig)
+    do_matching: bool = True
+    do_reconstruction: bool = True
+
+    def __post_init__(self) -> None:
+        self.log.apply()
+
+    @classmethod
+    def from_args(cls, args) -> "Config":
+        config = cls()
+        if getattr(args, "camera_model", None):
+            config.camera.model = args.camera_model
+        if getattr(args, "camera_params", None):
+            config.camera.params = [float(p) for p in args.camera_params.split(",")]
+        if getattr(args, "extractor", None):
+            config.extractor.extractor_type = args.extractor
+        elif getattr(args, "use_colmap_sift", False):
+            config.extractor.extractor_type = "colmap_sift"
+        if getattr(args, "vit_weights", None):
+            config.extractor.vit_weights_path = str(args.vit_weights)
+        elif getattr(args, "model", None):
+            config.extractor.vit_weights_path = str(args.model)
+        if getattr(args, "backbone", None):
+            config.extractor.backbone = args.backbone
+        if getattr(args, "max_keypoints", None):
+            config.extractor.max_keypoints = int(args.max_keypoints)
+        if getattr(args, "skip_matching", False):
+            config.do_matching = False
+        if getattr(args, "skip_reconstruction", False):
+            config.do_reconstruction = False
+        if getattr(args, "skip_verification", False):
+            config.matching.do_verification = False
+        if getattr(args, "min_num_matches", None):
+            config.reconstruction.min_num_matches = int(args.min_num_matches)
+        if getattr(args, "verbose", False):
+            config.log.level = logging.DEBUG
+            config.log.apply()
+        return config
+
+    def summary(self) -> str:
+        lines = [
+            "Configuration:",
+            f"  Extractor: {self.extractor.extractor_type}",
+            f"  Backbone: {self.extractor.backbone}",
+            f"  Camera model: {self.camera.model}",
+            f"  Matching: {'enabled' if self.do_matching else 'disabled'}",
+            f"  Verification: {'enabled' if self.matching.do_verification else 'disabled'}",
+            f"  Reconstruction: {'enabled' if self.do_reconstruction else 'disabled'}",
+            f"  Min matches: {self.reconstruction.min_num_matches}",
+        ]
+        return "\n".join(lines)
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d.pop("log", None)
+        return d
