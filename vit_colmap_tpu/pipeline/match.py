@@ -1,0 +1,260 @@
+"""Exhaustive matching + geometric verification driver.
+
+TPU-native replacement for ``pycolmap.match_exhaustive`` (reference call site
+``pipeline/run_pipeline.py:356-363``).  Dataflow:
+
+1. read all keypoints/descriptors from the database ONCE, pad ragged counts
+   to a static ``(num_images, N_max, D)`` tensor + validity masks,
+2. normalize descriptors on device once,
+3. stream pair batches through one jitted gather+matmul+filter program
+   (`ops.matching`); pair batches are sharded over the mesh's data axis,
+4. compact matches on host, write the ``matches`` table,
+5. batch verified pairs through the vectorized RANSAC
+   (`ops.ransac.estimate_two_view_batched`) and write
+   ``two_view_geometries`` (config enum + F/E/H + relative pose).
+
+Two-view geometries are written only for pairs reaching
+``min_num_inliers`` (so ``verified_pairs <= matched_pairs`` like COLMAP).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_colmap_tpu.database import ColmapDatabase, TWO_VIEW_CONFIG
+from vit_colmap_tpu.ops.matching import (
+    compact_matches,
+    match_pairs_batched,
+    normalize_descriptors,
+)
+from vit_colmap_tpu.ops.ransac import estimate_two_view_batched
+from vit_colmap_tpu.utils.config import MatchingConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int, minimum: int = 128) -> int:
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
+def camera_matrix(cam: dict) -> np.ndarray:
+    """COLMAP camera dict -> 3x3 K (distortion ignored for verification)."""
+    p = cam["params"]
+    model = cam["model"]
+    if model == "PINHOLE":
+        fx, fy, cx, cy = p[:4]
+    elif model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    else:
+        fx = fy = p[0]
+        cx, cy = cam["width"] / 2.0, cam["height"] / 2.0
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+
+
+@partial(jax.jit, static_argnames=("cross_check",))
+def _match_pair_batch(
+    desc: jax.Array,  # (num_images, N, D) normalized
+    valid: jax.Array,  # (num_images, N)
+    idx1: jax.Array,  # (P,)
+    idx2: jax.Array,  # (P,)
+    max_ratio: float,
+    max_distance: float,
+    cross_check: bool,
+) -> jax.Array:
+    d1 = jnp.take(desc, idx1, axis=0)
+    d2 = jnp.take(desc, idx2, axis=0)
+    v1 = jnp.take(valid, idx1, axis=0)
+    v2 = jnp.take(valid, idx2, axis=0)
+    return match_pairs_batched(
+        d1, d2, v1, v2, max_ratio, max_distance, cross_check
+    )
+
+
+@dataclass
+class MatchStats:
+    num_pairs: int = 0
+    matched_pairs: int = 0
+    verified_pairs: int = 0
+    total_matches: int = 0
+    total_inliers: int = 0
+    match_seconds: float = 0.0
+    verify_seconds: float = 0.0
+
+
+def match_exhaustive(
+    db_path,
+    config: Optional[MatchingConfig] = None,
+    seed: int = 0,
+) -> MatchStats:
+    """Run exhaustive matching (+ optional geometric verification) over all
+    images in the database, writing matches and two_view_geometries."""
+    config = config or MatchingConfig()
+    stats = MatchStats()
+
+    db = ColmapDatabase(db_path)
+    images = db.read_images()
+    cameras = db.read_cameras()
+    image_ids = sorted(images.keys())
+    n_img = len(image_ids)
+    if n_img < 2:
+        logger.warning("Fewer than 2 images; nothing to match")
+        db.close()
+        return stats
+
+    # ---------------------------------------------------------- load + pad
+    kpts_list, desc_list, counts = [], [], []
+    for iid in image_ids:
+        k = db.read_keypoints(iid)
+        d = db.read_descriptors(iid)
+        if k is None or d is None or len(k) == 0:
+            k = np.zeros((0, 2), np.float32)
+            d = np.zeros((0, 128), np.uint8)
+        kpts_list.append(k[:, :2].astype(np.float32))
+        desc_list.append(d)
+        counts.append(len(k))
+    n_max = _next_pow2(max(counts))
+    dim = max(d.shape[1] for d in desc_list)
+
+    desc_pad = np.zeros((n_img, n_max, dim), np.float32)
+    valid = np.zeros((n_img, n_max), bool)
+    for i, d in enumerate(desc_list):
+        desc_pad[i, : len(d), : d.shape[1]] = d
+        valid[i, : len(d)] = True
+
+    t0 = time.perf_counter()
+    desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
+    valid_dev = jnp.asarray(valid)
+
+    # ------------------------------------------------------------- pairs
+    pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
+    stats.num_pairs = len(pairs)
+    P = config.pair_batch
+    all_matches: dict[tuple[int, int], np.ndarray] = {}
+
+    for start in range(0, len(pairs), P):
+        chunk = pairs[start : start + P]
+        pad = P - len(chunk)
+        i1 = np.array([c[0] for c in chunk] + [0] * pad, np.int32)
+        i2 = np.array([c[1] for c in chunk] + [0] * pad, np.int32)
+        out = _match_pair_batch(
+            desc_dev,
+            valid_dev,
+            jnp.asarray(i1),
+            jnp.asarray(i2),
+            config.max_ratio,
+            config.max_distance,
+            config.cross_check,
+        )
+        out = np.asarray(out)
+        for b, (i, j) in enumerate(chunk):
+            m = compact_matches(out[b], counts[i])
+            if len(m) > 0:
+                all_matches[(i, j)] = m
+
+    for (i, j), m in all_matches.items():
+        db.add_matches(image_ids[i], image_ids[j], m)
+        stats.total_matches += len(m)
+    stats.matched_pairs = len(all_matches)
+    stats.match_seconds = time.perf_counter() - t0
+    db.commit()
+    logger.info(
+        "Matched %d/%d pairs (%d matches) in %.2fs",
+        stats.matched_pairs,
+        stats.num_pairs,
+        stats.total_matches,
+        stats.match_seconds,
+    )
+
+    # ------------------------------------------------------- verification
+    if config.do_verification and all_matches:
+        t1 = time.perf_counter()
+        verif_pairs = [
+            (i, j) for (i, j), m in all_matches.items() if len(m) >= 8
+        ]
+        if verif_pairs:
+            k_max = _next_pow2(max(len(all_matches[p]) for p in verif_pairs))
+            VB = config.pair_batch
+            key = jax.random.key(seed)
+            for start in range(0, len(verif_pairs), VB):
+                chunk = verif_pairs[start : start + VB]
+                bsz = len(chunk)
+                pts1 = np.zeros((VB, k_max, 2), np.float32)
+                pts2 = np.zeros((VB, k_max, 2), np.float32)
+                mask = np.zeros((VB, k_max), bool)
+                K1 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
+                K2 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
+                for b, (i, j) in enumerate(chunk):
+                    m = all_matches[(i, j)]
+                    pts1[b, : len(m)] = kpts_list[i][m[:, 0]]
+                    pts2[b, : len(m)] = kpts_list[j][m[:, 1]]
+                    mask[b, : len(m)] = True
+                    K1[b] = camera_matrix(
+                        cameras[images[image_ids[i]]["camera_id"]]
+                    )
+                    K2[b] = camera_matrix(
+                        cameras[images[image_ids[j]]["camera_id"]]
+                    )
+                keys = jax.random.split(jax.random.fold_in(key, start), VB)
+                res = estimate_two_view_batched(
+                    jnp.asarray(pts1),
+                    jnp.asarray(pts2),
+                    jnp.asarray(mask),
+                    jnp.asarray(K1),
+                    jnp.asarray(K2),
+                    jnp.ones(VB, bool),
+                    keys,
+                    iters=config.ransac_iters,
+                    max_error_px=config.ransac_max_error_px,
+                    min_num_inliers=config.min_num_inliers,
+                )
+                configs = np.asarray(res.config)
+                inl_masks = np.asarray(res.inlier_mask)
+                n_inl = np.asarray(res.num_inliers)
+                Fs = np.asarray(res.F, np.float64)
+                Es = np.asarray(res.E, np.float64)
+                Hs = np.asarray(res.H, np.float64)
+                qs = np.asarray(res.qvec, np.float64)
+                ts = np.asarray(res.tvec, np.float64)
+                for b, (i, j) in enumerate(chunk):
+                    if b >= bsz or n_inl[b] < config.min_num_inliers:
+                        continue
+                    m = all_matches[(i, j)]
+                    inliers = m[inl_masks[b, : len(m)]]
+                    if configs[b] == TWO_VIEW_CONFIG["DEGENERATE"]:
+                        continue
+                    db.add_two_view_geometry(
+                        image_ids[i],
+                        image_ids[j],
+                        inliers,
+                        config=int(configs[b]),
+                        F=Fs[b],
+                        E=Es[b],
+                        H=Hs[b],
+                        qvec=qs[b],
+                        tvec=ts[b],
+                    )
+                    stats.verified_pairs += 1
+                    stats.total_inliers += len(inliers)
+        db.commit()
+        stats.verify_seconds = time.perf_counter() - t1
+        logger.info(
+            "Verified %d pairs (%d inliers) in %.2fs",
+            stats.verified_pairs,
+            stats.total_inliers,
+            stats.verify_seconds,
+        )
+
+    db.close()
+    return stats

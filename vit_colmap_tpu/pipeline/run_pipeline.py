@@ -1,0 +1,257 @@
+"""Pipeline orchestration + CLI.
+
+Public surface mirrors the reference (``pipeline/run_pipeline.py:20-517``):
+``Pipeline(config).run(image_dir, output_dir, db_path, dataset, scene,
+results_dir)``, extractor dispatch by ``config.extractor.extractor_type``
+(dummy | colmap_sift/sift | vit | trainable_vit), ``do_matching`` /
+``do_reconstruction`` flags, a three-stage summary, and metrics export.
+
+Differences by design (TPU-native):
+* matching + verification run in-repo on device
+  (:mod:`vit_colmap_tpu.pipeline.match`) instead of pycolmap C++,
+* incremental mapping + bundle adjustment run in-repo
+  (:mod:`vit_colmap_tpu.sfm.incremental`) with JAX BA,
+* there is no CUDA probe; the accelerator is whatever ``jax.devices()``
+  exposes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.utils.config import Config
+from vit_colmap_tpu.utils.export import export_metrics
+from vit_colmap_tpu.utils.metrics import MetricsExtractor, MetricsResult
+
+logger = logging.getLogger(__name__)
+
+
+class Pipeline:
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        self.reconstructions: dict[int, object] = {}
+
+    # ------------------------------------------------------------ dispatch
+    def _make_extractor(self):
+        etype = self.config.extractor.extractor_type
+        if etype == "dummy":
+            from vit_colmap_tpu.features.dummy_extractor import DummyExtractor
+
+            return DummyExtractor(step=32)
+        if etype in ("colmap_sift", "sift"):
+            from vit_colmap_tpu.features.sift_extractor import SiftExtractor
+
+            return SiftExtractor(max_keypoints=self.config.extractor.max_keypoints)
+        if etype == "trainable_vit":
+            from vit_colmap_tpu.features.trainable_vit_extractor import (
+                TrainableViTExtractor,
+            )
+
+            return TrainableViTExtractor(
+                weights_path=self.config.extractor.vit_weights_path,
+                backbone=self.config.extractor.backbone,
+                num_keypoints=20480,
+                nms_radius=1,
+                detection_threshold=0.4,
+            )
+        if etype == "vit":
+            from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+
+            return ViTExtractor(
+                weights_path=self.config.extractor.vit_weights_path,
+                backbone=self.config.extractor.backbone,
+                max_keypoints=self.config.extractor.max_keypoints,
+            )
+        if etype == "hybrid":
+            from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
+
+            return HybridExtractor(
+                weights_path=self.config.extractor.vit_weights_path,
+                backbone=self.config.extractor.backbone,
+                max_keypoints=self.config.extractor.max_keypoints,
+            )
+        raise ValueError(f"Unknown extractor type: {etype}")
+
+    # ----------------------------------------------------------------- run
+    def run(
+        self,
+        image_dir: Path,
+        output_dir: Path,
+        db_path: Path,
+        dataset: Optional[str] = None,
+        scene: Optional[str] = None,
+        results_dir: Optional[Path] = None,
+    ) -> None:
+        image_dir = Path(image_dir)
+        output_dir = Path(output_dir)
+        db_path = Path(db_path)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        db_path.parent.mkdir(parents=True, exist_ok=True)
+
+        import jax
+
+        logger.info("Devices: %s", jax.devices())
+        logger.info("\n%s", self.config.summary())
+
+        # Stage 1: extraction -------------------------------------------------
+        t0 = time.perf_counter()
+        extractor = self._make_extractor()
+        camera_params = self.config.camera.params
+        extractor.extract(
+            image_dir, db_path, self.config.camera.model, camera_params
+        )
+        t_extract = time.perf_counter() - t0
+
+        with ColmapDatabase.open_database(db_path) as db:
+            num_images = db.num_images
+        if num_images == 0:
+            logger.error("No images were processed; aborting")
+            return
+        logger.info(
+            "Extraction: %d images in %.2fs (%.2f img/s)",
+            num_images,
+            t_extract,
+            num_images / max(t_extract, 1e-9),
+        )
+
+        # Stage 2: matching + verification ------------------------------------
+        t_match = 0.0
+        if self.config.do_matching:
+            from vit_colmap_tpu.pipeline.match import match_exhaustive
+
+            t1 = time.perf_counter()
+            match_exhaustive(db_path, self.config.matching)
+            t_match = time.perf_counter() - t1
+
+        # Stage 3: incremental reconstruction ----------------------------------
+        t_recon = 0.0
+        if self.config.do_reconstruction:
+            from vit_colmap_tpu.sfm.incremental import incremental_mapping
+
+            t2 = time.perf_counter()
+            sparse_dir = output_dir / "sparse"
+            self.reconstructions = incremental_mapping(
+                db_path, image_dir, sparse_dir, self.config.reconstruction
+            )
+            t_recon = time.perf_counter() - t2
+
+        self._print_summary(db_path, t_extract, t_match, t_recon)
+
+        if dataset and scene and results_dir:
+            self.extract_and_export_metrics(
+                db_path, output_dir, dataset, scene, results_dir
+            )
+
+    # ------------------------------------------------------------- summary
+    def _print_summary(
+        self, db_path: Path, t_extract: float, t_match: float, t_recon: float
+    ) -> None:
+        with ColmapDatabase.open_database(db_path) as db:
+            logger.info("=" * 60)
+            logger.info("Pipeline summary")
+            logger.info(
+                "  [1] extraction    %.2fs — %d images, %d keypoints",
+                t_extract,
+                db.num_images,
+                db.num_keypoints,
+            )
+            logger.info(
+                "  [2] match+verify  %.2fs — %d matched pairs, %d verified, %d raw matches",
+                t_match,
+                db.num_matched_pairs,
+                db.num_verified_pairs,
+                db.num_matches,
+            )
+            if self.reconstructions:
+                total_pts = sum(
+                    len(r.points3D) for r in self.reconstructions.values()
+                )
+                total_reg = sum(
+                    len(r.images) for r in self.reconstructions.values()
+                )
+                logger.info(
+                    "  [3] reconstruction %.2fs — %d models, %d registered images, %d 3D points",
+                    t_recon,
+                    len(self.reconstructions),
+                    total_reg,
+                    total_pts,
+                )
+            logger.info("=" * 60)
+
+    def extract_and_export_metrics(
+        self,
+        db_path: Path,
+        output_dir: Path,
+        dataset: str,
+        scene: str,
+        results_dir: Path,
+    ) -> Optional[MetricsResult]:
+        try:
+            extractor = MetricsExtractor(db_path, output_dir)
+            result = extractor.extract_all_metrics(
+                dataset=dataset,
+                scene=scene,
+                extractor_type=self.config.extractor.extractor_type,
+                config=self.config.to_dict(),
+                reconstructions=self.reconstructions or None,
+            )
+            export_metrics(result, results_dir)
+            return result
+        except Exception:
+            logger.exception("Metrics extraction failed")
+            return None
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    ap = argparse.ArgumentParser(
+        description="Run the TPU-native ViT-COLMAP structure-from-motion pipeline"
+    )
+    ap.add_argument("--images", required=True, type=Path)
+    ap.add_argument("--output", required=True, type=Path)
+    ap.add_argument("--db", default=Path("data/intermediate/database.db"), type=Path)
+    ap.add_argument("--model", default=None, type=Path)
+    ap.add_argument("--camera-model", default="SIMPLE_PINHOLE", type=str)
+    ap.add_argument("--camera-params", default=None, type=str,
+                    help="Comma-separated camera params override")
+    ap.add_argument("--skip-matching", action="store_true")
+    ap.add_argument("--skip-reconstruction", action="store_true")
+    ap.add_argument("--skip-verification", action="store_true")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--use-colmap-sift", action="store_true")
+    ap.add_argument(
+        "--extractor",
+        type=str,
+        default=None,
+        choices=["vit", "trainable_vit", "colmap_sift", "sift", "dummy", "hybrid"],
+    )
+    ap.add_argument("--vit-weights", type=Path, default=None)
+    ap.add_argument("--backbone", type=str, default=None)
+    ap.add_argument("--max-keypoints", type=int, default=None)
+    ap.add_argument("--min-num-matches", type=int, default=None)
+    ap.add_argument("--dataset", type=str, default=None)
+    ap.add_argument("--scene", type=str, default=None)
+    ap.add_argument("--export-metrics", type=Path, default=None)
+    args = ap.parse_args(argv)
+
+    config = Config.from_args(args)
+    logger.info("Configuration loaded")
+    logger.debug("\n%s", config.summary())
+
+    Pipeline(config=config).run(
+        image_dir=args.images,
+        output_dir=args.output,
+        db_path=args.db,
+        dataset=args.dataset,
+        scene=args.scene,
+        results_dir=args.export_metrics,
+    )
+    logger.info("Pipeline complete!")
+
+
+if __name__ == "__main__":
+    main()
