@@ -1,0 +1,104 @@
+"""Integration tests for the ViT extractor + detection/descriptor ops.
+
+Parallels the reference's ``tests/test_vit_integration.py`` shape/dtype
+contracts (float32 Nx2 keypoints, uint8 Nx128 descriptors, DB row counts),
+running the random-init backbone on tiny images (no network egress).
+"""
+
+import numpy as np
+import pytest
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.ops.detect import detect_keypoints, nms_maxpool, select_topk_binned
+from vit_colmap_tpu.ops.interpolate import apply_pca, bilinear_sample, fit_pca
+
+
+def test_nms_maxpool_suppresses_nonmaxima():
+    s = np.zeros((1, 8, 8), np.float32)
+    s[0, 3, 3] = 1.0
+    s[0, 3, 4] = 0.5  # neighbor, should be suppressed
+    s[0, 6, 6] = 0.8
+    out = np.asarray(nms_maxpool(s, radius=1))
+    assert out[0, 3, 3] == 1.0
+    assert out[0, 3, 4] == 0.0
+    assert out[0, 6, 6] == 0.8
+
+
+def test_binned_topk_spreads_selections():
+    # All mass in one corner cell; binning must still cap per-bin picks.
+    s = np.zeros((1, 8, 8), np.float32)
+    s[0, :2, :2] = np.array([[4, 3], [2, 1]])
+    s[0, 6, 6] = 0.5
+    xy, score, valid = select_topk_binned(s, bin_size=2, k_per_bin=2, k_total=4)
+    xy, score, valid = np.asarray(xy), np.asarray(score), np.asarray(valid)
+    picked = {tuple(p) for p in xy[0][valid[0]].astype(int)}
+    # only 2 of the 4 corner points allowed, plus the lone far point
+    corner = {(0, 0), (1, 0), (0, 1), (1, 1)} & picked
+    assert len(corner) == 2
+    assert (6, 6) in picked
+
+
+def test_detect_keypoints_valid_mask():
+    s = np.zeros((2, 16, 16), np.float32)
+    s[0, 4, 4] = 1.0
+    s[1, 2, 2] = 1.0
+    s[1, 10, 12] = 0.9
+    xy, score, valid = detect_keypoints(s, nms_radius=1, k_total=8)
+    valid = np.asarray(valid)
+    assert valid[0].sum() == 1
+    assert valid[1].sum() == 2
+
+
+def test_bilinear_sample_exact_and_midpoint():
+    fmap = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    pts = np.array([[1.0, 1.0], [1.5, 1.0], [0.0, 3.0]], np.float32)
+    out = np.asarray(bilinear_sample(fmap, pts))
+    assert out[0, 0] == 5.0  # fmap[1,1]
+    assert out[1, 0] == 5.5  # midpoint of fmap[1,1]=5, fmap[1,2]=6
+    assert out[2, 0] == 12.0  # fmap[3,0]
+
+
+def test_pca_reduces_and_preserves_variance():
+    rng = np.random.default_rng(0)
+    # Data with 4 dominant directions in 32-D.
+    basis = rng.standard_normal((4, 32)).astype(np.float32)
+    coeff = rng.standard_normal((500, 4)).astype(np.float32)
+    x = coeff @ basis + 0.01 * rng.standard_normal((500, 32)).astype(np.float32)
+    comps, mean = fit_pca(x, out_dim=4)
+    proj = np.asarray(apply_pca(x, comps, mean))
+    assert proj.shape == (500, 4)
+    # Projection keeps nearly all the variance.
+    total_var = x.var(axis=0).sum()
+    proj_var = proj.var(axis=0).sum()
+    assert proj_var / total_var > 0.97
+
+
+@pytest.mark.slow
+def test_vit_extractor_end_to_end(tmp_path):
+    import cv2
+
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+
+    image_dir = tmp_path / "imgs"
+    image_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        img = rng.integers(0, 255, (70, 84, 3), dtype=np.uint8)
+        cv2.imwrite(str(image_dir / f"im{i}.png"), img)
+
+    ex = ViTExtractor(backbone="vits14", max_keypoints=64, image_batch=2)
+    db_path = tmp_path / "db.db"
+    ex.extract(image_dir, db_path, "SIMPLE_PINHOLE")
+
+    db = ColmapDatabase(db_path)
+    assert db.num_images == 2
+    for iid in db.read_images():
+        k = db.read_keypoints(iid)
+        d = db.read_descriptors(iid)
+        assert k is not None and k.shape[1] == 2 and k.dtype == np.float32
+        assert d is not None and d.shape == (len(k), 128) and d.dtype == np.uint8
+        assert len(k) > 0
+        # keypoints inside the original image bounds
+        assert (k[:, 0] >= 0).all() and (k[:, 0] <= 84).all()
+        assert (k[:, 1] >= 0).all() and (k[:, 1] <= 70).all()
+    db.close()

@@ -1,0 +1,232 @@
+"""Frozen DINOv2 ViT feature extractor — batched, jitted, device-resident.
+
+Capability parity with the reference ``ViTExtractor``
+(``features/vit_extractor.py:17-768``): DINOv2 patch tokens, Harris/DoG
+saliency, spatially-binned top-k keypoints + NMS, bilinear descriptor
+interpolation, PCA 768->128, L2-normalize, x512 uint8 quantization,
+grid->image coordinate mapping with the +0.5 patch-center offset, default
+intrinsics f = max(w, h), and directory->database extraction.
+
+TPU-native redesign (SURVEY.md §7 step 3-4):
+* the ENTIRE per-image compute (normalize -> backbone -> saliency -> NMS ->
+  binned top-k -> descriptor gather -> PCA -> quantize) is ONE jitted
+  program batched over images — the reference crosses host<->device several
+  times per image and runs Python loops for binning/NMS,
+* ragged keypoint counts ride fixed shapes + validity masks,
+* PCA is an explicit fit (stored on the extractor, persistable) rather than
+  an order-dependent lazy SVD.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.features.base_extractor import BaseExtractor, list_images
+from vit_colmap_tpu.models.dinov2 import (
+    PATCH_SIZE,
+    make_backbone,
+    patch_grid_size,
+    preprocess,
+)
+from vit_colmap_tpu.ops.detect import detect_keypoints
+from vit_colmap_tpu.ops.interpolate import (
+    apply_pca,
+    bilinear_sample_batched,
+    fit_pca,
+    l2_normalize,
+    quantize_descriptors_signed,
+)
+from vit_colmap_tpu.ops.scoring import compute_saliency
+from vit_colmap_tpu.utils.config import CameraConfig
+
+logger = logging.getLogger(__name__)
+
+
+class ViTExtractor(BaseExtractor):
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        backbone: str = "vitb14",
+        max_keypoints: int = 4096,
+        descriptor_dim: int = 128,
+        saliency: str = "combined",
+        nms_radius: int = 1,
+        bin_size: int = 2,
+        k_per_bin: int = 4,
+        image_batch: int = 4,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.backbone_name = backbone
+        self.max_keypoints = max_keypoints
+        self.descriptor_dim = descriptor_dim
+        self.saliency = saliency
+        self.nms_radius = nms_radius
+        self.bin_size = bin_size
+        self.k_per_bin = k_per_bin
+        self.image_batch = image_batch
+
+        self.model, self.cfg = make_backbone(backbone, dtype=dtype)
+        key = jax.random.key(seed)
+        if weights_path:
+            from vit_colmap_tpu.models.convert import load_torch_checkpoint
+
+            logger.info("Loading backbone weights from %s", weights_path)
+            self.params = load_torch_checkpoint(str(weights_path), self.cfg)
+        else:
+            logger.warning(
+                "No weights provided; DINOv2 backbone is randomly initialized"
+            )
+            from vit_colmap_tpu.models.dinov2 import init_backbone_params
+
+            self.params = init_backbone_params(self.model, key, 224, 224)
+        # PCA projection: fitted lazily on the first batch's dense tokens.
+        self._pca: Optional[tuple[jax.Array, jax.Array]] = None
+        self._forward = None  # compiled per (B, H, W)
+
+    # -------------------------------------------------------------- device
+    def _build_forward(self):
+        model = self.model
+        saliency = self.saliency
+        nms_radius = self.nms_radius
+        bin_size = self.bin_size
+        k_per_bin = self.k_per_bin
+        k_total = self.max_keypoints
+
+        @jax.jit
+        def dense_features(params, images_u8):
+            x = preprocess(images_u8)
+            out = model.apply(params, x)
+            gh, gw = out["grid"]
+            fmap = out["x_norm_patchtokens"].reshape(
+                images_u8.shape[0], gh, gw, -1
+            )
+            return fmap
+
+        @jax.jit
+        def detect_and_describe(fmap, pca_comps, pca_mean):
+            scores = compute_saliency(fmap.astype(jnp.float32), saliency)
+            xy, sc, valid = detect_keypoints(
+                scores,
+                nms_radius=nms_radius,
+                bin_size=bin_size,
+                k_per_bin=k_per_bin,
+                k_total=k_total,
+            )
+            desc = bilinear_sample_batched(fmap.astype(jnp.float32), xy)
+            desc = apply_pca(desc, pca_comps, pca_mean)
+            desc = l2_normalize(desc)
+            # Invertible signed encoding (decoded by MatchingConfig
+            # descriptor_encoding="signed") — keeps negative PCA components,
+            # unlike the reference's x512 clip (vit_extractor.py:243-250).
+            desc_u8 = quantize_descriptors_signed(desc)
+            return xy, sc, valid, desc_u8
+
+        return dense_features, detect_and_describe
+
+    def extract_batch(self, images_u8: np.ndarray):
+        """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
+        (xy grid coords, scores, valid, uint8 desc) as numpy."""
+        if self._forward is None:
+            self._forward = self._build_forward()
+        dense_features, detect_and_describe = self._forward
+        fmap = dense_features(self.params, jnp.asarray(images_u8))
+        if self._pca is None:
+            flat = fmap.astype(jnp.float32).reshape(-1, fmap.shape[-1])
+            self._pca = fit_pca(flat, self.descriptor_dim)
+            logger.info(
+                "Fitted PCA %d->%d on %d tokens",
+                fmap.shape[-1],
+                self.descriptor_dim,
+                flat.shape[0],
+            )
+        xy, sc, valid, desc = detect_and_describe(fmap, *self._pca)
+        return (
+            np.asarray(xy),
+            np.asarray(sc),
+            np.asarray(valid),
+            np.asarray(desc),
+        )
+
+    # ---------------------------------------------------------------- host
+    @staticmethod
+    def _map_coords(
+        xy_grid: np.ndarray, resized_wh: tuple[int, int], orig_wh: tuple[int, int]
+    ) -> np.ndarray:
+        """Grid coords -> original image pixels with the +0.5 patch-center
+        offset (reference ``vit_extractor.py:229-236``)."""
+        rx = orig_wh[0] / resized_wh[0]
+        ry = orig_wh[1] / resized_wh[1]
+        x = (xy_grid[:, 0] + 0.5) * PATCH_SIZE * rx
+        y = (xy_grid[:, 1] + 0.5) * PATCH_SIZE * ry
+        return np.stack([x, y], axis=1).astype(np.float32)
+
+    def extract(
+        self,
+        image_dir: Path,
+        db_path: Path,
+        camera_model: str,
+        camera_params: Optional[list[float]] = None,
+    ) -> None:
+        import cv2
+
+        image_dir = Path(image_dir)
+        files = list_images(image_dir)
+        if not files:
+            logger.error("No images found in %s", image_dir)
+            return
+
+        db = ColmapDatabase(db_path)
+        camera_ids: dict[tuple[int, int], int] = {}
+
+        # Group by original size so each group batches at one static shape.
+        groups: dict[tuple[int, int], list[Path]] = {}
+        imgs_cache: dict[Path, np.ndarray] = {}
+        for f in files:
+            img = cv2.imread(str(f))
+            if img is None:
+                logger.warning("Unreadable image skipped: %s", f)
+                continue
+            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            imgs_cache[f] = rgb
+            groups.setdefault(rgb.shape[:2], []).append(f)
+
+        for (oh, ow), gfiles in groups.items():
+            th, tw = patch_grid_size(oh, ow)
+            if (oh, ow) not in camera_ids:
+                params = camera_params or CameraConfig(
+                    model=camera_model
+                ).get_default_params(ow, oh)
+                camera_ids[(oh, ow)] = db.add_camera(camera_model, ow, oh, params)
+            cam_id = camera_ids[(oh, ow)]
+
+            B = self.image_batch
+            for start in range(0, len(gfiles), B):
+                chunk = gfiles[start : start + B]
+                batch = np.zeros((B, th, tw, 3), np.uint8)
+                for b, f in enumerate(chunk):
+                    rgb = imgs_cache[f]
+                    if (oh, ow) != (th, tw):
+                        rgb = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
+                    batch[b] = rgb
+                try:
+                    xy, sc, valid, desc = self.extract_batch(batch)
+                except Exception:
+                    logger.exception("Extraction failed for batch at %s", chunk[0])
+                    continue
+                for b, f in enumerate(chunk):
+                    v = valid[b]
+                    kpts = self._map_coords(xy[b][v], (tw, th), (ow, oh))
+                    image_id = db.add_image(f.name, camera_id=cam_id)
+                    db.add_keypoints(image_id, kpts)
+                    db.add_descriptors(image_id, desc[b][v])
+        db.commit()
+        db.close()

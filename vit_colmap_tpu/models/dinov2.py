@@ -1,0 +1,245 @@
+"""DINOv2-style Vision Transformer backbone in flax.
+
+TPU-first reimplementation of the frozen backbone the reference pulls from
+``torch.hub`` (used at ``features/vit_extractor.py:135-146`` and
+``model/vit_feature_model.py:63-83``).  Architecture follows the public
+DINOv2 ViT family: patch-14 conv embedding, cls (+optional register) tokens,
+pre-norm transformer blocks with LayerScale, GELU MLP (SwiGLU for the giant
+variant), and a final LayerNorm; ``forward_features`` returns
+``x_norm_patchtokens`` / ``x_norm_clstoken`` like the torch reference so the
+extractor layer is backend-agnostic.
+
+TPU considerations: everything is static-shape and jit-friendly; attention is
+a plain einsum chain (XLA fuses QK^T·softmax·V efficiently at the ~10K-token
+sequence lengths this pipeline sees — SURVEY.md §5 "long-context" note);
+computation dtype is bfloat16 by default with float32 parameters and final
+norm in float32.  Position embeddings are bicubic-resized inside the traced
+graph for arbitrary patch grids.
+
+Weight porting from torch checkpoints: :mod:`vit_colmap_tpu.models.convert`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+PATCH_SIZE = 14
+
+# Canonical DINOv2 family configs (embed_dim, depth, num_heads, mlp_ratio, swiglu)
+VIT_CONFIGS = {
+    "vits14": dict(embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0, swiglu=False),
+    "vitb14": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0, swiglu=False),
+    "vitl14": dict(embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0, swiglu=False),
+    "vitg14": dict(
+        embed_dim=1536, depth=40, num_heads=24, mlp_ratio=8 / 3, swiglu=True
+    ),
+}
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    swiglu: bool = False
+    patch_size: int = PATCH_SIZE
+    num_register_tokens: int = 0
+    layerscale_init: float = 1e-5
+    ln_eps: float = 1e-6
+    # Grid size the pretrained pos-embed was trained at (518/14 = 37).
+    pretrain_grid: int = 37
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def named(cls, name: str, **overrides) -> "ViTConfig":
+        if name not in VIT_CONFIGS:
+            raise ValueError(f"Unknown backbone {name!r}; options: {list(VIT_CONFIGS)}")
+        return cls(**{**VIT_CONFIGS[name], **overrides})
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", lambda k, s: jnp.full(s, self.init, jnp.float32), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, N, D = x.shape
+        head_dim = c.embed_dim // c.num_heads
+        qkv = nn.Dense(3 * c.embed_dim, dtype=c.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # (B, H, N, d)
+        q = jnp.swapaxes(q, 1, 2) * (head_dim**-0.5)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+        return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        if c.swiglu:
+            # DINOv2-g SwiGLU ffn: hidden rounded to multiple of 8 of 2/3 rule
+            hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
+            w12 = nn.Dense(2 * hidden, dtype=c.dtype, name="w12")(x)
+            x1, x2 = jnp.split(w12, 2, axis=-1)
+            h = nn.silu(x1) * x2
+            return nn.Dense(c.embed_dim, dtype=c.dtype, name="w3")(h)
+        h = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(h)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm1")(x)
+        y = Attention(c, name="attn")(y)
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm2")(x)
+        y = Mlp(c, name="mlp")(y)
+        return x + LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(y)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, grid_h: int, grid_w: int, pretrain_grid: int
+) -> jax.Array:
+    """Bicubic-resize patch position embeddings to an arbitrary grid.
+
+    pos_embed: (1, 1 + pretrain_grid**2, D) — cls first, then patch grid.
+    Returns (1, 1 + grid_h * grid_w, D).
+    """
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:]
+    d = patch_pe.shape[-1]
+    patch_pe = patch_pe.reshape(1, pretrain_grid, pretrain_grid, d)
+    if (grid_h, grid_w) != (pretrain_grid, pretrain_grid):
+        patch_pe = jax.image.resize(
+            patch_pe.astype(jnp.float32),
+            (1, grid_h, grid_w, d),
+            method="bicubic",
+        )
+    patch_pe = patch_pe.reshape(1, grid_h * grid_w, d)
+    return jnp.concatenate([cls_pe.astype(patch_pe.dtype), patch_pe], axis=1)
+
+
+class DinoV2(nn.Module):
+    """DINOv2 ViT. Input: (B, H, W, 3) normalized images, H/W multiples of 14."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        c = self.cfg
+        B, H, W, _ = x.shape
+        gh, gw = H // c.patch_size, W // c.patch_size
+
+        x = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=c.dtype,
+            name="patch_embed",
+        )(x.astype(c.dtype))
+        x = x.reshape(B, gh * gw, c.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, c.embed_dim), jnp.float32
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + c.pretrain_grid**2, c.embed_dim),
+            jnp.float32,
+        )
+        pe = interpolate_pos_embed(pos_embed, gh, gw, c.pretrain_grid)
+        cls = jnp.broadcast_to(cls_token, (B, 1, c.embed_dim))
+        x = jnp.concatenate([cls.astype(c.dtype), x], axis=1)
+        x = x + pe.astype(c.dtype)
+
+        if c.num_register_tokens:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.zeros,
+                (1, c.num_register_tokens, c.embed_dim),
+                jnp.float32,
+            )
+            reg = jnp.broadcast_to(
+                reg, (B, c.num_register_tokens, c.embed_dim)
+            ).astype(c.dtype)
+            x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+
+        for i in range(c.depth):
+            x = Block(c, name=f"blocks_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        n_prefix = 1 + c.num_register_tokens
+        return {
+            "x_norm_clstoken": x[:, 0],
+            "x_norm_patchtokens": x[:, n_prefix:],
+            "grid": (gh, gw),
+        }
+
+
+# ImageNet normalization constants (the reference normalizes with these at
+# ``features/vit_extractor.py:71-79``).
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+def preprocess(images_uint8: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 RGB -> normalized float32, fused into the graph."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def patch_grid_size(h: int, w: int, patch: int = PATCH_SIZE) -> tuple[int, int]:
+    """Largest patch-aligned size <= (h, w) (reference resize rule,
+    ``features/vit_extractor.py:121-129``)."""
+    return max(h // patch, 1) * patch, max(w // patch, 1) * patch
+
+
+def make_backbone(
+    name: str = "vitb14",
+    dtype=jnp.bfloat16,
+    num_register_tokens: int = 0,
+) -> tuple[DinoV2, ViTConfig]:
+    cfg = ViTConfig.named(name, dtype=dtype, num_register_tokens=num_register_tokens)
+    return DinoV2(cfg), cfg
+
+
+def init_backbone_params(model: DinoV2, key: jax.Array, h: int = 224, w: int = 224):
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    return model.init(key, dummy)

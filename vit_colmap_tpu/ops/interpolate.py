@@ -1,0 +1,87 @@
+"""Bilinear sampling and descriptor projection ops.
+
+``bilinear_sample`` is the grid_sample-equivalent gather the reference uses
+for descriptor interpolation (``features/vit_extractor.py:545-586``) and for
+training-time feature sampling (``dataloader/training_sampler.py:181-211``).
+``fit_pca``/``apply_pca`` replace the reference's lazy first-batch SVD
+(``vit_extractor.py:588-653``) with an explicit, order-independent fit that
+can be persisted in checkpoints (SURVEY.md §7 step 4 fix-by-design).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(fmap: jax.Array, xy: jax.Array) -> jax.Array:
+    """Bilinear sample features at continuous coordinates.
+
+    fmap: (H, W, C); xy: (N, 2) as (x, y) in map pixel coordinates
+    (0..W-1, 0..H-1).  Out-of-bounds coordinates clamp to the border
+    (align_corners=True semantics on the sample grid).
+    Returns (N, C).
+    """
+    H, W, _ = fmap.shape
+    x = jnp.clip(xy[:, 0], 0.0, W - 1.0)
+    y = jnp.clip(xy[:, 1], 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+
+    f00 = fmap[y0, x0]
+    f01 = fmap[y0, x1]
+    f10 = fmap[y1, x0]
+    f11 = fmap[y1, x1]
+    top = f00 * (1 - wx) + f01 * wx
+    bot = f10 * (1 - wx) + f11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+bilinear_sample_batched = jax.vmap(bilinear_sample)  # (B,H,W,C),(B,N,2)->(B,N,C)
+
+
+@partial(jax.jit, static_argnames=("out_dim",))
+def fit_pca(features: jax.Array, out_dim: int = 128):
+    """Fit a PCA projection on (N, C) feature rows.
+
+    Returns (components (C, out_dim), mean (C,)).  Uses eigh of the covariance
+    (C x C — cheap at C<=1536) rather than SVD of the data matrix.
+    """
+    mean = jnp.mean(features, axis=0)
+    x = features - mean
+    cov = (x.T @ x) / jnp.maximum(x.shape[0] - 1, 1)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, ::-1][:, :out_dim]
+    return comps, mean
+
+
+def apply_pca(features: jax.Array, components: jax.Array, mean: jax.Array) -> jax.Array:
+    return (features - mean) @ components
+
+
+def random_projection(key: jax.Array, in_dim: int, out_dim: int) -> jax.Array:
+    """Gaussian random projection fallback (reference ``vit_extractor.py:
+    640-653`` uses the same when SVD fails)."""
+    return jax.random.normal(key, (in_dim, out_dim)) / jnp.sqrt(out_dim)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-8)
+
+
+def quantize_descriptors_colmap(desc: jax.Array) -> jax.Array:
+    """L2-normalized float descriptors -> uint8 via x512 clip (reference
+    ``features/vit_extractor.py:243-250``)."""
+    return jnp.clip(desc * 512.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def quantize_descriptors_signed(desc: jax.Array) -> jax.Array:
+    """[-1, 1] descriptors -> uint8 via (d+1)*127.5 (reference
+    ``trainable_vit_extractor.py:263-267``)."""
+    return jnp.clip((desc + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)

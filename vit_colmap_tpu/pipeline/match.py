@@ -134,6 +134,10 @@ def match_exhaustive(
         valid[i, : len(d)] = True
 
     t0 = time.perf_counter()
+    if config.descriptor_encoding == "signed":
+        desc_pad = desc_pad / 127.5 - 1.0
+        # Keep padded rows at zero so they stay invalid after normalization.
+        desc_pad[~valid] = 0.0
     desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
     valid_dev = jnp.asarray(valid)
 

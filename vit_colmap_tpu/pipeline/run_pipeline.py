@@ -124,6 +124,13 @@ class Pipeline:
         if self.config.do_matching:
             from vit_colmap_tpu.pipeline.match import match_exhaustive
 
+            # ViT-family extractors store signed uint8 descriptors.
+            if self.config.extractor.extractor_type in (
+                "vit",
+                "trainable_vit",
+                "hybrid",
+            ):
+                self.config.matching.descriptor_encoding = "signed"
             t1 = time.perf_counter()
             match_exhaustive(db_path, self.config.matching)
             t_match = time.perf_counter() - t1

@@ -70,6 +70,10 @@ class MatchingConfig:
     max_distance: float = 0.7
     cross_check: bool = True
     max_num_matches: int = 32768
+    # uint8 descriptor decoding: "unsigned" (SIFT-style, value as-is) or
+    # "signed" (invertible [-1,1] <-> [0,255] used by the ViT extractors —
+    # unlike the reference's x512 clip, which discards negative components).
+    descriptor_encoding: str = "unsigned"
     # TPU execution knobs
     pair_batch: int = 16  # image pairs matched per device program
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
