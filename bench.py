@@ -1,0 +1,193 @@
+"""Benchmark: HPatches-style extract+match pairs/sec on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Workload (BASELINE.json config 3 shape): N images at the reference's HPatches
+training resolution (1190x1596 -> 85x114 = 9,690 patch tokens,
+``dataloader/homography_utils.py:25-27`` in the reference), DINOv2-B dense
+inference + saliency detection + descriptor extraction, then exhaustive
+mutual-NN cosine matching over all N(N-1)/2 pairs.  pairs/sec counts
+extract+match wall-clock after one warmup/compile iteration.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against BASELINE.json's "published" entry when present, else null.
+
+Flags: --tiny (CPU-sized shapes), --images N, --backbone vits14|vitb14.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(
+    num_images: int,
+    height: int,
+    width: int,
+    backbone: str,
+    max_keypoints: int,
+    pair_batch: int,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+    from vit_colmap_tpu.ops.matching import match_pairs_batched, normalize_descriptors
+
+    rng = np.random.default_rng(0)
+    # Smooth synthetic images (pure noise defeats detection binning edge cases
+    # but any content exercises identical compute).
+    base = rng.integers(0, 255, (height // 8, width // 8, 3), dtype=np.uint8)
+    imgs = np.zeros((num_images, height, width, 3), np.uint8)
+    for i in range(num_images):
+        shifted = np.roll(base, i * 2, axis=1)
+        imgs[i] = np.asarray(
+            jax.image.resize(
+                jnp.asarray(shifted, jnp.float32), (height, width, 3), "bilinear"
+            )
+        ).astype(np.uint8)
+
+    ex = ViTExtractor(
+        backbone=backbone,
+        max_keypoints=max_keypoints,
+        image_batch=min(2, num_images),
+    )
+
+    # Warmup / compile (also reveals the actual K the detector returns,
+    # which may be below max_keypoints on small grids).
+    _, _, warm_valid, warm_desc = ex.extract_batch(imgs[: ex.image_batch])
+    k_actual = warm_desc.shape[1]
+
+    t0 = time.perf_counter()
+    descs = np.zeros((num_images, k_actual, 128), np.uint8)
+    valids = np.zeros((num_images, k_actual), bool)
+    B = ex.image_batch
+    for s in range(0, num_images, B):
+        chunk = imgs[s : s + B]
+        pad = B - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        xy, sc, valid, desc = ex.extract_batch(chunk)
+        descs[s : s + B - pad] = desc[: B - pad]
+        valids[s : s + B - pad] = valid[: B - pad]
+    t_extract = time.perf_counter() - t0
+
+    # Exhaustive matching.
+    pairs = [
+        (i, j) for i in range(num_images) for j in range(i + 1, num_images)
+    ]
+    d = descs.astype(np.float32) / 127.5 - 1.0
+    d[~valids] = 0.0
+    d_dev = normalize_descriptors(jnp.asarray(d))
+    v_dev = jnp.asarray(valids)
+
+    # Warmup the matching program.
+    i1 = jnp.zeros((pair_batch,), jnp.int32)
+    _ = match_pairs_batched(
+        jnp.take(d_dev, i1, 0), jnp.take(d_dev, i1, 0),
+        jnp.take(v_dev, i1, 0), jnp.take(v_dev, i1, 0),
+    ).block_until_ready()
+
+    t1 = time.perf_counter()
+    total_matches = 0
+    for s in range(0, len(pairs), pair_batch):
+        chunk = pairs[s : s + pair_batch]
+        padn = pair_batch - len(chunk)
+        ii = jnp.asarray([c[0] for c in chunk] + [0] * padn, jnp.int32)
+        jj = jnp.asarray([c[1] for c in chunk] + [0] * padn, jnp.int32)
+        out = match_pairs_batched(
+            jnp.take(d_dev, ii, 0),
+            jnp.take(d_dev, jj, 0),
+            jnp.take(v_dev, ii, 0),
+            jnp.take(v_dev, jj, 0),
+        )
+        out.block_until_ready()
+        total_matches += int((np.asarray(out)[: len(chunk)] >= 0).sum())
+    t_match = time.perf_counter() - t1
+
+    total = t_extract + t_match
+    pairs_per_sec = len(pairs) / total
+    return {
+        "pairs_per_sec": pairs_per_sec,
+        "images_per_sec_extract": num_images / t_extract,
+        "t_extract_s": t_extract,
+        "t_match_s": t_match,
+        "num_images": num_images,
+        "num_pairs": len(pairs),
+        "total_matches": total_matches,
+        "resolution": f"{height}x{width}",
+        "backbone": backbone,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU-sized quick run")
+    ap.add_argument("--images", type=int, default=None)
+    ap.add_argument("--backbone", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.tiny:
+        num_images = args.images or 4
+        h, w = 154, 210
+        backbone = args.backbone or "vits14"
+        max_kp = 256
+        pair_batch = 4
+    else:
+        num_images = args.images or 8
+        h, w = 1190, 1596
+        backbone = args.backbone or "vitb14"
+        max_kp = 4096
+        pair_batch = 8
+
+    try:
+        extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch)
+        import jax
+
+        extras["device"] = str(jax.devices()[0])
+        value = extras.pop("pairs_per_sec")
+        # No published reference numbers exist (BASELINE.md).
+        baseline = None
+        try:
+            with open("BASELINE.json") as f:
+                published = json.load(f).get("published") or {}
+            baseline = published.get("pairs_per_sec")
+        except Exception:
+            pass
+        vs = value / baseline if baseline else None
+        print(
+            json.dumps(
+                {
+                    "metric": "hpatches_pairs_per_sec_extract_match",
+                    "value": round(value, 3),
+                    "unit": "pairs/s",
+                    "vs_baseline": vs,
+                    **{
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in extras.items()
+                    },
+                }
+            )
+        )
+    except Exception as e:  # never crash the driver: emit a failure record
+        print(
+            json.dumps(
+                {
+                    "metric": "hpatches_pairs_per_sec_extract_match",
+                    "value": 0.0,
+                    "unit": "pairs/s",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Per-batch training pipeline — one fused device program.
+
+Replaces the reference ``TrainingBatchProcessor`` (``dataloader/
+training_batch.py:18-381``): backbone features once, invariant-point
+selection, positive-pair transfer, negative mining, trainable-head forward,
+coordinate rescale feature(1/14)->head(1/4) space (x3.5), gradient-based
+orientation ground truth, homography rotation offset, and the vectorized
+Gaussian score heatmap.
+
+Fix-by-design vs the reference (SURVEY.md §7 step 6): positives/negatives
+run through the *real descriptor head* — the reference silently fell back to
+a cached random projection (``training_batch.py:79-128``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vit_colmap_tpu.dataloader.homography_utils import (
+    grid_to_image,
+    homography_rotation_angle,
+)
+from vit_colmap_tpu.dataloader.training_sampler import (
+    generate_all_negatives,
+    sample_features_at,
+    select_invariant_points,
+)
+from vit_colmap_tpu.models.dinov2 import PATCH_SIZE, preprocess
+from vit_colmap_tpu.utils.orientation import (
+    compute_keypoint_orientations_simple,
+    rgb_to_gray,
+)
+
+# Feature-grid (1/14) -> head-output (1/4) coordinate scale.
+GRID_TO_HEAD = PATCH_SIZE / 4.0  # 3.5 (reference training_batch.py:276-289)
+
+
+def gaussian_heatmap(
+    coords: jax.Array,  # (B, K, 2) in heatmap coords
+    valid: jax.Array,  # (B, K)
+    height: int,
+    width: int,
+    sigma: float = 1.0,
+) -> jax.Array:
+    """max-over-keypoints Gaussian GT heatmap (reference
+    ``training_batch.py:130-174``), vectorized."""
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    dx = xx[None, None] - coords[..., 0][:, :, None, None]  # (B, K, H, W)
+    dy = yy[None, None] - coords[..., 1][:, :, None, None]
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    g = jnp.where(valid[:, :, None, None], g, 0.0)
+    return jnp.max(g, axis=1)
+
+
+def process_batch(
+    backbone_apply,
+    backbone_params,
+    heads_apply,
+    heads_params,
+    batch: dict[str, jax.Array],
+    key: jax.Array,
+    top_k: int = 512,
+    num_in_image: int = 8,
+    num_cross: int = 4,
+    num_hard: int = 4,
+) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+    """images1/images2 (B, H, W, 3) uint8 + H12 (B, 3, 3) ->
+    (outputs, targets) for :func:`vit_colmap_tpu.losses.total_loss`."""
+    img1, img2, H12 = batch["image1"], batch["image2"], batch["H"]
+    B = img1.shape[0]
+
+    # Frozen backbone, evaluated once per image (reference
+    # ``training_batch.py:234-239`` uses inference_mode similarly).
+    def backbone_feats(img):
+        out = backbone_apply(backbone_params, preprocess(img))
+        gh, gw = out["grid"]
+        return jax.lax.stop_gradient(
+            out["x_norm_patchtokens"].reshape(B, gh, gw, -1)
+        )
+
+    feats1 = backbone_feats(img1)
+    feats2 = backbone_feats(img2)
+
+    inv = select_invariant_points(feats1, feats2, H12, top_k=top_k)
+
+    out1 = heads_apply(heads_params, feats1)
+    out2 = heads_apply(heads_params, feats2)
+
+    # Feature-grid coords -> head (quarter-res) coords.
+    c1_head = inv.coords1_grid * GRID_TO_HEAD
+    c2_head = inv.coords2_grid * GRID_TO_HEAD
+
+    desc1 = sample_features_at(out1["descriptors"], c1_head)
+    desc2 = sample_features_at(out2["descriptors"], c2_head)
+
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    desc1, desc2 = norm(desc1), norm(desc2)
+    negatives = generate_all_negatives(
+        out2["descriptors"],
+        c2_head,
+        desc1,
+        key,
+        num_in_image=num_in_image,
+        num_cross=num_cross,
+        num_hard=num_hard,
+    )
+
+    # Orientation GT: gradient direction of image 1 at the keypoints, rotated
+    # by the homography's in-plane angle for image 2's prediction
+    # (reference ``training_batch.py:306-320``).
+    gray1 = rgb_to_gray(img1) / 255.0
+    kpts1_img = grid_to_image(inv.coords1_grid)
+    orient1_gt = compute_keypoint_orientations_simple(gray1, kpts1_img)
+    angle = homography_rotation_angle(H12)
+    orient2_target = orient1_gt + angle[:, None]
+
+    orient2_pred = sample_features_at(
+        out2["orientation"][..., None], c2_head
+    )[..., 0]
+    score_at_kp = sample_features_at(
+        out2["score_logits"][..., None], c2_head
+    )[..., 0]
+
+    h4, w4 = out2["score_logits"].shape[1:3]
+    score_target = gaussian_heatmap(c2_head, inv.valid, h4, w4, sigma=1.0)
+
+    outputs = {
+        "score_logits": out2["score_logits"],
+        "orient_pred": orient2_pred,
+        "desc1": desc1,
+        "desc2": desc2,
+        "negatives": negatives,
+        "score_at_kp": score_at_kp,
+    }
+    targets = {
+        "score_target": score_target,
+        "orient_target": orient2_target,
+        "kp_mask": inv.valid.astype(jnp.float32),
+    }
+    return outputs, targets

@@ -1,0 +1,107 @@
+"""Jitted training step: DP-sharded, heads-only gradients.
+
+The reference trains single-device with AMP + grad-clip 1.0 + AdamW +
+cosine LR (``scripts/train_vit_features.py:154-177, 667-676``).  Here the
+step is a pure function jitted over a device mesh: the batch is sharded over
+the ``data`` axis, parameters are replicated, and XLA inserts the gradient
+all-reduce automatically from the sharding annotations (SURVEY.md §2.4
+consequence: DP via pjit, not a NCCL port).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_colmap_tpu.dataloader.training_batch import process_batch
+from vit_colmap_tpu.losses.feature_losses import total_loss
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    heads_params: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    total_steps: int = 10000,
+    warmup_steps: int = 100,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW + cosine decay to lr/100 (reference ``train_vit_features.py:
+    667-676``: CosineAnnealingLR eta_min = lr / 100) + global-norm clip 1.0."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=learning_rate * 0.1,  # nonzero so step 0 still updates
+        peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=learning_rate / 100.0,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(heads_params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        heads_params=heads_params,
+        opt_state=optimizer.init(heads_params),
+    )
+
+
+def make_train_step(
+    backbone_apply,
+    heads_apply,
+    optimizer,
+    loss_kwargs: Optional[dict] = None,
+    batch_kwargs: Optional[dict] = None,
+):
+    """Build the jitted train step closure.
+
+    Returns ``step(state, backbone_params, batch, key) -> (state, metrics)``.
+    """
+    loss_kwargs = loss_kwargs or {}
+    batch_kwargs = batch_kwargs or {}
+
+    def loss_fn(heads_params, backbone_params, batch, key):
+        outputs, targets = process_batch(
+            backbone_apply,
+            backbone_params,
+            heads_apply,
+            heads_params,
+            batch,
+            key,
+            **batch_kwargs,
+        )
+        out = total_loss(outputs, targets, **loss_kwargs)
+        return out.total, out.components
+
+    @jax.jit
+    def step(state: TrainState, backbone_params, batch, key):
+        (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.heads_params, backbone_params, batch, key
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.heads_params
+        )
+        heads_params = optax.apply_updates(state.heads_params, updates)
+        metrics = {"total_loss": loss, **components}
+        return (
+            TrainState(state.step + 1, heads_params, opt_state),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, backbone_params, batch, key):
+        loss, components = loss_fn(state.heads_params, backbone_params, batch, key)
+        return {"total_loss": loss, **components}
+
+    return step, eval_step
