@@ -1,0 +1,159 @@
+"""SfM stack tests: PnP, bundle adjustment, incremental mapping end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.sfm.bundle import (
+    BAProblem,
+    axis_angle_to_matrix,
+    bundle_adjust,
+    matrix_to_axis_angle,
+)
+from vit_colmap_tpu.sfm.incremental import incremental_mapping
+from vit_colmap_tpu.sfm.pnp import pnp_ransac
+from vit_colmap_tpu.sfm.reconstruction import read_text
+from vit_colmap_tpu.utils.config import ReconstructionConfig
+
+
+def _look_at_scene(n_pts=200, n_cams=5, seed=0):
+    """3D points in a box, cameras on an arc looking at the origin."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform([-1, -1, 3], [1, 1, 5], (n_pts, 3))
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    cams = []
+    for i in range(n_cams):
+        ang = (i - n_cams / 2) * 0.12
+        R = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ]
+        )
+        C = np.array([2.0 * np.sin(ang), 0.1 * i, 4.0 - 4.0 * np.cos(ang)])
+        t = -R @ C
+        cams.append((R, t))
+    return X, K, cams
+
+
+def _project(R, t, K, X):
+    Xc = X @ R.T + t
+    uv = (Xc[:, :2] / Xc[:, 2:]) * np.diag(K)[:2] + K[:2, 2]
+    return uv, Xc[:, 2]
+
+
+def test_axis_angle_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        aa = rng.standard_normal(3) * 0.8
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+        aa2 = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        np.testing.assert_allclose(aa2, aa, atol=1e-5)
+
+
+def test_pnp_ransac_recovers_pose():
+    X, K, cams = _look_at_scene(n_pts=100)
+    R, t = cams[2]
+    uv, depth = _project(R, t, K, X)
+    rng = np.random.default_rng(1)
+    uv_noisy = uv + 0.5 * rng.standard_normal(uv.shape)
+    # 20 outliers
+    uv_noisy[:20] = rng.uniform(0, 640, (20, 2))
+    n_pad = 128
+    xy = np.zeros((n_pad, 2), np.float32)
+    Xp = np.zeros((n_pad, 3), np.float32)
+    mask = np.zeros(n_pad, bool)
+    xy[:100], Xp[:100], mask[:100] = uv_noisy, X, True
+    res = pnp_ransac(
+        jnp.asarray(xy), jnp.asarray(Xp), jnp.asarray(mask),
+        jnp.asarray(K, jnp.float32), jax.random.key(0), iters=512, max_error_px=4.0,
+    )
+    assert int(res.num_inliers) >= 70
+    R_est = np.asarray(res.R)
+    t_est = np.asarray(res.t)
+    np.testing.assert_allclose(R_est, R, atol=0.02)
+    np.testing.assert_allclose(t_est, t, atol=0.05)
+
+
+def test_bundle_adjust_reduces_error():
+    X, K, cams = _look_at_scene(n_pts=60, n_cams=3)
+    rng = np.random.default_rng(2)
+    n_img, n_pts = 3, 60
+    cam = np.zeros((n_img, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:] = t
+    # Perturb points (keep the two gauge-fixed cameras exact).
+    pts = (X + 0.05 * rng.standard_normal(X.shape)).astype(np.float32)
+    cam_noisy = cam.copy()
+    cam_noisy[2, 3:] += 0.05
+
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for i, (R, t) in enumerate(cams):
+        uv, _ = _project(R, t, K, X)
+        for j in range(n_pts):
+            obs_cam.append(i)
+            obs_pt.append(j)
+            obs_xy.append(uv[j])
+    n_obs = len(obs_cam)
+    problem = BAProblem(
+        cam_params=jnp.asarray(cam_noisy),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_pt, jnp.int32),
+        obs_xy=jnp.asarray(np.asarray(obs_xy), jnp.float32),
+        obs_valid=jnp.ones(n_obs, bool),
+        K=jnp.asarray(np.tile(K, (n_img, 1, 1)), jnp.float32),
+        fixed_cam_mask=jnp.asarray([True, True, False]),
+    )
+    cam_out, pts_out, msr = bundle_adjust(problem, iters=25, cg_iters=30)
+    assert float(msr) < 0.05, float(msr)
+    # Points recovered close to ground truth.
+    err = np.linalg.norm(np.asarray(pts_out) - X, axis=-1)
+    assert np.median(err) < 0.01
+
+
+@pytest.mark.slow
+def test_incremental_mapping_end_to_end(tmp_path):
+    X, K, cams = _look_at_scene(n_pts=150, n_cams=5, seed=3)
+    rng = np.random.default_rng(4)
+    db = ColmapDatabase(tmp_path / "db.db")
+    cid = db.add_pinhole_camera(640, 480, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    ids = []
+    for i, (R, t) in enumerate(cams):
+        uv, depth = _project(R, t, K, X)
+        uv = uv + 0.3 * rng.standard_normal(uv.shape)
+        iid = db.add_image(f"cam{i}.png", cid)
+        db.add_keypoints(iid, uv.astype(np.float32))
+        db.add_descriptors(
+            iid, rng.integers(0, 255, (len(uv), 128), dtype=np.uint8)
+        )
+        ids.append(iid)
+    # identity correspondences for all pairs
+    m = np.stack([np.arange(len(X))] * 2, axis=1).astype(np.uint32)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            db.add_matches(ids[a], ids[b], m)
+            db.add_two_view_geometry(ids[a], ids[b], m, config=2)
+    db.commit()
+    db.close()
+
+    cfg = ReconstructionConfig(min_num_matches=15)
+    recs = incremental_mapping(tmp_path / "db.db", tmp_path, tmp_path / "sparse", cfg)
+    assert len(recs) == 1
+    rec = recs[0]
+    assert len(rec.images) == 5
+    assert len(rec.points3D) >= 100
+    assert rec.mean_reprojection_error() < 1.5
+    assert rec.mean_track_length() > 3.0
+
+    # Sparse model written in COLMAP text format and round-trips.
+    loaded = read_text(tmp_path / "sparse" / "0")
+    assert len(loaded.images) == 5
+    assert len(loaded.points3D) == len(rec.points3D)
+    # Binary files exist.
+    for name in ("cameras.bin", "images.bin", "points3D.bin"):
+        assert (tmp_path / "sparse" / "0" / name).exists()

@@ -1,0 +1,234 @@
+"""Bundle adjustment in JAX — matrix-free Levenberg-Marquardt.
+
+Replaces Ceres inside COLMAP's mapper (SURVEY.md §2.3 "Incremental SfM
+mapper + bundle adjustment").  TPU-native formulation:
+
+* parameters = camera poses (axis-angle + translation, 6 per image) and 3D
+  points, flattened into one vector; optionally per-camera focal scale,
+* residuals = Huber-weighted pixel reprojection errors over a fixed-size
+  observation array (image_idx, point_idx, xy, valid),
+* the normal equations are solved **matrix-free**: (JᵀJ + λ diag)·v products
+  come from one jvp + one vjp through the residual function, and conjugate
+  gradients runs inside the jitted step — no Jacobian or Schur complement is
+  ever materialized, so the whole LM iteration is a handful of fused XLA
+  kernels,
+* the damping update (accept/reject) uses ``lax.cond`` — no host sync inside
+  the optimization loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def axis_angle_to_matrix(aa: jax.Array) -> jax.Array:
+    """Rodrigues: (..., 3) -> (..., 3, 3).
+
+    Differentiable at theta = 0: the angle is computed as
+    sqrt(max(|aa|^2, eps)) so the backward pass never divides by zero (the
+    naive norm NaNs the whole BA gradient at identity poses).
+    """
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    k = aa / theta
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zeros = jnp.zeros_like(kx)
+    Km = jnp.stack(
+        [
+            jnp.stack([zeros, -kz, ky], axis=-1),
+            jnp.stack([kz, zeros, -kx], axis=-1),
+            jnp.stack([-ky, kx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    th = theta[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3), Km.shape)
+    R = eye + jnp.sin(th) * Km + (1 - jnp.cos(th)) * (Km @ Km)
+    # First-order fallback for tiny angles (accuracy, not safety).
+    R_small = eye + Km * th
+    return jnp.where(th < 1e-6, R_small, R)
+
+
+def matrix_to_axis_angle(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 3). Safe for angles < pi - eps."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    s = 2.0 * jnp.sin(theta)
+    axis = v / jnp.where(jnp.abs(s) < 1e-8, 1.0, s)[..., None]
+    return axis * theta[..., None]
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle-adjustment problem.
+
+    cam_params: (n_img, 6) axis-angle + t.  points: (n_pts, 3).
+    obs_*: (n_obs,) observation table; obs_valid masks padding.
+    K: (n_img, 3, 3); fixed_cam_mask: (n_img,) — poses held constant
+    (gauge fixing: the mapper pins the first registered image).
+    """
+
+    cam_params: jax.Array
+    points: jax.Array
+    obs_cam: jax.Array  # int32 (n_obs,)
+    obs_point: jax.Array  # int32 (n_obs,)
+    obs_xy: jax.Array  # (n_obs, 2) pixels
+    obs_valid: jax.Array  # bool (n_obs,)
+    K: jax.Array
+    fixed_cam_mask: jax.Array
+
+
+def _residuals(cam_params, points, problem: BAProblem, huber_delta: float):
+    """(n_obs, 2) Huber-scaled reprojection residuals."""
+    cams = cam_params[problem.obs_cam]  # (n_obs, 6)
+    X = points[problem.obs_point]  # (n_obs, 3)
+    R = axis_angle_to_matrix(cams[:, :3])
+    t = cams[:, 3:]
+    Xc = jnp.einsum("nij,nj->ni", R, X) + t
+    z = jnp.where(jnp.abs(Xc[:, 2:]) > 1e-8, Xc[:, 2:], 1e-8)
+    xn = Xc[:, :2] / z
+    Kobs = problem.K[problem.obs_cam]
+    u = xn[:, 0] * Kobs[:, 0, 0] + Kobs[:, 0, 2]
+    v = xn[:, 1] * Kobs[:, 1, 1] + Kobs[:, 1, 2]
+    r = jnp.stack([u, v], axis=-1) - problem.obs_xy
+    # Huber reweighting (IRLS): residual *= sqrt(w), w = delta/|r| beyond
+    # delta.  The weight is treated as a constant per linearization
+    # (stop_gradient) so the Gauss-Newton model stays consistent.
+    norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    w = jnp.where(norm > huber_delta, jnp.sqrt(huber_delta / jnp.maximum(norm, 1e-8)), 1.0)
+    r = r * jax.lax.stop_gradient(w)
+    return jnp.where(problem.obs_valid[:, None], r, 0.0)
+
+
+def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
+    """Exact diag(JᵀJ), computed from per-observation Jacobians.
+
+    Each residual row touches exactly one camera (6 dof) and one point
+    (3 dof): a vmapped 2x9 Jacobian per observation + segment-sums gives the
+    full diagonal without materializing J — the TPU stand-in for Ceres'
+    block-diagonal bookkeeping.
+    """
+    n_img = cam_params.shape[0]
+    n_pts = points.shape[0]
+
+    def one_obs(cam6, pt3, xy, Kmat, valid):
+        def r(cp):
+            c, p = cp[:6], cp[6:]
+            R = axis_angle_to_matrix(c[:3])
+            Xc = R @ p + c[3:]
+            z = jnp.where(jnp.abs(Xc[2]) > 1e-8, Xc[2], 1e-8)
+            u = Xc[0] / z * Kmat[0, 0] + Kmat[0, 2]
+            v = Xc[1] / z * Kmat[1, 1] + Kmat[1, 2]
+            res = jnp.stack([u, v]) - xy
+            nrm = jnp.linalg.norm(res)
+            w = jnp.where(
+                nrm > huber_delta,
+                jnp.sqrt(huber_delta / jnp.maximum(nrm, 1e-8)),
+                1.0,
+            )
+            return res * w * valid
+
+        J = jax.jacfwd(r)(jnp.concatenate([cam6, pt3]))  # (2, 9)
+        return jnp.sum(J * J, axis=0)  # (9,)
+
+    sq = jax.vmap(one_obs)(
+        cam_params[problem.obs_cam],
+        points[problem.obs_point],
+        problem.obs_xy,
+        problem.K[problem.obs_cam],
+        problem.obs_valid.astype(jnp.float32),
+    )  # (n_obs, 9)
+    cam_diag = jax.ops.segment_sum(sq[:, :6], problem.obs_cam, n_img)
+    pt_diag = jax.ops.segment_sum(sq[:, 6:], problem.obs_point, n_pts)
+    return jnp.concatenate([cam_diag.ravel(), pt_diag.ravel()])
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
+def bundle_adjust(
+    problem: BAProblem,
+    iters: int = 20,
+    cg_iters: int = 50,
+    huber_delta: float = 3.0,
+):
+    """Run LM; returns (cam_params, points, final mean squared residual)."""
+    n_img = problem.cam_params.shape[0]
+    n_pts = problem.points.shape[0]
+
+    def pack(cam, pts):
+        return jnp.concatenate([cam.ravel(), pts.ravel()])
+
+    def unpack(x):
+        cam = x[: n_img * 6].reshape(n_img, 6)
+        pts = x[n_img * 6 :].reshape(n_pts, 3)
+        return cam, pts
+
+    free_mask = pack(
+        jnp.broadcast_to(
+            ~problem.fixed_cam_mask[:, None], (n_img, 6)
+        ).astype(jnp.float32),
+        jnp.ones((n_pts, 3)),
+    )
+
+    def res_fn(x):
+        cam, pts = unpack(x)
+        return _residuals(cam, pts, problem, huber_delta).ravel()
+
+    def cost(x):
+        r = res_fn(x)
+        return 0.5 * jnp.dot(r, r)
+
+    def lm_step(carry, _):
+        x, lam = carry
+        r = res_fn(x)
+        cam, pts = unpack(x)
+        diag = _jtj_diag(cam, pts, problem, huber_delta)
+        diag = jnp.maximum(diag, 1e-6)
+        # g = Jᵀ r via vjp; JᵀJ v via jvp + vjp; Marquardt damping lam*diag.
+        _, vjp = jax.vjp(res_fn, x)
+        g = vjp(r)[0] * free_mask
+
+        def matvec(v):
+            v = v * free_mask
+            jv = jax.jvp(res_fn, (x,), (v,))[1]
+            return vjp(jv)[0] * free_mask + lam * diag * v
+
+        precond = 1.0 / (diag * (1.0 + lam))
+
+        dx, _ = jax.scipy.sparse.linalg.cg(
+            matvec, -g, M=lambda v: precond * v, maxiter=cg_iters, tol=1e-8
+        )
+        dx = dx * free_mask
+        # Backtracking over a few step scales — all candidate costs evaluate
+        # in one fused program; argmin picks the best (no host sync).
+        scales = jnp.array([1.0, 0.5, 0.25, 0.1, 0.03], jnp.float32)
+        costs = jax.vmap(lambda s: cost(x + s * dx))(scales)
+        best = jnp.argmin(costs)
+        c0 = cost(x)
+        improved = costs[best] < c0
+        x = jnp.where(improved, x + scales[best] * dx, x)
+        lam = jnp.where(
+            improved & (best == 0),
+            jnp.maximum(lam * 0.3, 1e-10),
+            jnp.where(improved, lam, lam * 10.0),
+        )
+        return (x, lam), None
+
+    x0 = pack(problem.cam_params, problem.points)
+    (x_fin, _), _ = jax.lax.scan(lm_step, (x0, jnp.float32(1e-4)), None, length=iters)
+    cam, pts = unpack(x_fin)
+    r = _residuals(cam, pts, problem, huber_delta)
+    n_valid = jnp.maximum(jnp.sum(problem.obs_valid), 1)
+    msr = jnp.sum(jnp.sum(r * r, axis=-1)) / n_valid
+    return cam, pts, msr

@@ -1,0 +1,535 @@
+"""Incremental structure-from-motion mapper.
+
+In-repo replacement for ``pycolmap.incremental_mapping`` (reference call site
+``pipeline/run_pipeline.py:381-386``; option surface ``utils/config.py:
+100-112``).  Host code orchestrates the model-building loop (tiny state:
+which image registers next); ALL geometry runs as jitted device programs:
+
+* two-view initialization: pose from the verified pair's essential matrix +
+  batched DLT triangulation (:mod:`vit_colmap_tpu.sfm.geometry`),
+* registration: vectorized PnP RANSAC (:mod:`vit_colmap_tpu.sfm.pnp`),
+* new-point triangulation: batched over all matches of the new image,
+* refinement: matrix-free LM bundle adjustment
+  (:mod:`vit_colmap_tpu.sfm.bundle`) with pow2-bucketed problem shapes so
+  jit programs are reused across the reconstruction.
+
+Supports multiple models (``ReconstructionConfig.multiple_models``) and
+writes COLMAP-format sparse models to ``output_path/<idx>/``.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.pipeline.match import camera_matrix
+from vit_colmap_tpu.sfm import geometry as geom
+from vit_colmap_tpu.sfm.bundle import (
+    BAProblem,
+    axis_angle_to_matrix,
+    bundle_adjust,
+    matrix_to_axis_angle,
+)
+from vit_colmap_tpu.sfm.pnp import pnp_ransac
+from vit_colmap_tpu.sfm.reconstruction import (
+    Camera,
+    Image,
+    Point3D,
+    Reconstruction,
+)
+from vit_colmap_tpu.utils.config import ReconstructionConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int, minimum: int = 64) -> int:
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
+def _qvec_from_R(R: np.ndarray) -> np.ndarray:
+    return np.asarray(geom.rotmat_to_qvec(jnp.asarray(R)))
+
+
+class _MapperState:
+    """Mutable state of one model being built."""
+
+    def __init__(self, cameras, images, keypoints):
+        self.cameras = cameras  # camera_id -> db dict
+        self.images = images  # image_id -> db dict
+        self.keypoints = keypoints  # image_id -> (N, 2) float32
+        self.poses: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # id -> (R, t)
+        self.points: dict[int, np.ndarray] = {}  # point_id -> xyz
+        self.tracks: dict[int, list[tuple[int, int]]] = {}
+        self.kp_to_point: dict[tuple[int, int], int] = {}
+        self.next_point_id = 1
+
+    def K(self, image_id: int) -> np.ndarray:
+        return camera_matrix(self.cameras[self.images[image_id]["camera_id"]])
+
+    def add_point(self, xyz, obs: list[tuple[int, int]]) -> int:
+        pid = self.next_point_id
+        self.next_point_id += 1
+        self.points[pid] = np.asarray(xyz, np.float64)
+        self.tracks[pid] = list(obs)
+        for o in obs:
+            self.kp_to_point[o] = pid
+        return pid
+
+    def remove_point(self, pid: int) -> None:
+        for o in self.tracks.pop(pid, []):
+            self.kp_to_point.pop(o, None)
+        self.points.pop(pid, None)
+
+
+def _triangulation_angles(X, C1, C2):
+    r1 = X - C1
+    r2 = X - C2
+    cos = np.sum(r1 * r2, axis=-1) / np.maximum(
+        np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1), 1e-12
+    )
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+def _reproj_errors(R, t, K, X, xy):
+    Xc = X @ R.T + t
+    z = np.where(np.abs(Xc[:, 2:]) > 1e-9, Xc[:, 2:], 1e-9)
+    uv = (Xc[:, :2] / z) * np.array([K[0, 0], K[1, 1]]) + np.array([K[0, 2], K[1, 2]])
+    err = np.linalg.norm(uv - xy, axis=-1)
+    return np.where(Xc[:, 2] > 1e-6, err, np.inf)
+
+
+class IncrementalMapper:
+    def __init__(self, state: _MapperState, pair_matches, config: ReconstructionConfig):
+        self.s = state
+        self.pair_matches = pair_matches  # (id1, id2) -> (M, 2) uint32 inliers
+        self.cfg = config
+        self._key = jax.random.key(0)
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------ initialization
+    def initialize(self) -> bool:
+        """Pick the best verified pair and bootstrap the model."""
+        candidates = sorted(
+            self.pair_matches.items(), key=lambda kv: -len(kv[1])
+        )
+        for (i1, i2), m in candidates:
+            if len(m) < max(self.cfg.min_num_matches, 30):
+                continue
+            if self._try_init_pair(i1, i2, m):
+                return True
+        return False
+
+    def _try_init_pair(self, i1, i2, m) -> bool:
+        s = self.s
+        k1, k2 = s.K(i1), s.K(i2)
+        x1 = s.keypoints[i1][m[:, 0]].astype(np.float64)
+        x2 = s.keypoints[i2][m[:, 1]].astype(np.float64)
+        x1n = (x1 - k1[:2, 2]) / np.diag(k1)[:2]
+        x2n = (x2 - k2[:2, 2]) / np.diag(k2)[:2]
+
+        E = np.asarray(
+            geom.fit_essential(
+                jnp.asarray(x1n)[None], jnp.asarray(x2n)[None]
+            )[0]
+        )
+        mask = np.ones(len(m), bool)
+        R, t = geom.recover_pose_from_E(
+            jnp.asarray(E)[None], jnp.asarray(x1n)[None],
+            jnp.asarray(x2n)[None], jnp.asarray(mask)[None],
+        )
+        R, t = np.asarray(R[0], np.float64), np.asarray(t[0], np.float64)
+
+        P1 = k1 @ np.eye(3, 4)
+        P2 = k2 @ np.concatenate([R, t[:, None]], axis=1)
+        X = np.asarray(
+            geom.triangulate(
+                jnp.asarray(P1)[None], jnp.asarray(P2)[None],
+                jnp.asarray(x1)[None], jnp.asarray(x2)[None],
+            )[0],
+            np.float64,
+        )
+        C1 = np.zeros(3)
+        C2 = -R.T @ t
+        angles = _triangulation_angles(X, C1, C2)
+        e1 = _reproj_errors(np.eye(3), np.zeros(3), k1, X, x1)
+        e2 = _reproj_errors(R, t, k2, X, x2)
+        thr = self.cfg.filter_max_reproj_error_px
+        good = (
+            (angles > self.cfg.min_triangulation_angle_deg)
+            & (e1 < thr)
+            & (e2 < thr)
+        )
+        if good.sum() < max(self.cfg.min_num_matches, 20):
+            return False
+
+        s.poses[i1] = (np.eye(3), np.zeros(3))
+        s.poses[i2] = (R, t)
+        for idx in np.nonzero(good)[0]:
+            s.add_point(
+                X[idx], [(i1, int(m[idx, 0])), (i2, int(m[idx, 1]))]
+            )
+        logger.info(
+            "Initialized model with pair (%d, %d): %d points", i1, i2, good.sum()
+        )
+        return True
+
+    # --------------------------------------------------------- registration
+    def find_next_image(self):
+        """Unregistered image with most visible 3D points."""
+        s = self.s
+        best, best_corrs = None, None
+        for iid in s.images:
+            if iid in s.poses:
+                continue
+            corrs = self._collect_2d3d(iid)
+            if best_corrs is None or len(corrs) > len(best_corrs):
+                best, best_corrs = iid, corrs
+        if best is None or len(best_corrs) < 6:
+            return None, None
+        return best, best_corrs
+
+    def _collect_2d3d(self, iid):
+        """[(feat_idx, point_id)] correspondences of an unregistered image."""
+        s = self.s
+        out = {}
+        for (a, b), m in self.pair_matches.items():
+            if a == iid and b in s.poses:
+                fi, fj, other = m[:, 0], m[:, 1], b
+            elif b == iid and a in s.poses:
+                fi, fj, other = m[:, 1], m[:, 0], a
+            else:
+                continue
+            for f_self, f_other in zip(fi, fj):
+                pid = s.kp_to_point.get((other, int(f_other)))
+                if pid is not None and int(f_self) not in out:
+                    out[int(f_self)] = pid
+        return list(out.items())
+
+    def register_image(self, iid, corrs) -> bool:
+        s = self.s
+        xy = s.keypoints[iid][[f for f, _ in corrs]].astype(np.float32)
+        X = np.stack([s.points[p] for _, p in corrs]).astype(np.float32)
+        n = len(corrs)
+        n_pad = _next_pow2(n)
+        xy_p = np.zeros((n_pad, 2), np.float32)
+        X_p = np.zeros((n_pad, 3), np.float32)
+        mask = np.zeros(n_pad, bool)
+        xy_p[:n], X_p[:n], mask[:n] = xy, X, True
+
+        res = pnp_ransac(
+            jnp.asarray(xy_p),
+            jnp.asarray(X_p),
+            jnp.asarray(mask),
+            jnp.asarray(s.K(iid), jnp.float32),
+            self._split_key(),
+            iters=512,
+            max_error_px=self.cfg.filter_max_reproj_error_px * 2,
+        )
+        n_inl = int(res.num_inliers)
+        if n_inl < max(6, self.cfg.min_num_matches // 2):
+            return False
+        R = np.asarray(res.R, np.float64)
+        t = np.asarray(res.t, np.float64)
+        s.poses[iid] = (R, t)
+        inl = np.asarray(res.inlier_mask)[:n]
+        for (f, pid), ok in zip(corrs, inl):
+            if ok and (iid, f) not in s.kp_to_point:
+                s.kp_to_point[(iid, f)] = pid
+                s.tracks[pid].append((iid, f))
+        logger.info("Registered image %d with %d/%d inliers", iid, n_inl, n)
+        return True
+
+    # -------------------------------------------------------- triangulation
+    def triangulate_new(self, iid) -> int:
+        """Triangulate matches of image `iid` against registered partners."""
+        s = self.s
+        R2, t2 = s.poses[iid]
+        K2 = s.K(iid)
+        P2 = K2 @ np.concatenate([R2, t2[:, None]], axis=1)
+        C2 = -R2.T @ t2
+        created = 0
+        for (a, b), m in self.pair_matches.items():
+            if a == iid and b in s.poses:
+                other, f_self, f_other = b, m[:, 0], m[:, 1]
+            elif b == iid and a in s.poses:
+                other, f_self, f_other = a, m[:, 1], m[:, 0]
+            else:
+                continue
+            R1, t1 = s.poses[other]
+            K1 = s.K(other)
+            P1 = K1 @ np.concatenate([R1, t1[:, None]], axis=1)
+            C1 = -R1.T @ t1
+
+            new_mask = np.array(
+                [
+                    (iid, int(fs)) not in s.kp_to_point
+                    and (other, int(fo)) not in s.kp_to_point
+                    for fs, fo in zip(f_self, f_other)
+                ]
+            )
+            if not new_mask.any():
+                continue
+            fs = f_self[new_mask]
+            fo = f_other[new_mask]
+            x2 = s.keypoints[iid][fs].astype(np.float64)
+            x1 = s.keypoints[other][fo].astype(np.float64)
+            X = np.asarray(
+                geom.triangulate(
+                    jnp.asarray(P1)[None], jnp.asarray(P2)[None],
+                    jnp.asarray(x1)[None], jnp.asarray(x2)[None],
+                )[0],
+                np.float64,
+            )
+            angles = _triangulation_angles(X, C1, C2)
+            e1 = _reproj_errors(R1, t1, K1, X, x1)
+            e2 = _reproj_errors(R2, t2, K2, X, x2)
+            thr = self.cfg.filter_max_reproj_error_px
+            good = (
+                (angles > self.cfg.min_triangulation_angle_deg)
+                & (e1 < thr)
+                & (e2 < thr)
+            )
+            for k in np.nonzero(good)[0]:
+                s.add_point(
+                    X[k], [(other, int(fo[k])), (iid, int(fs[k]))]
+                )
+                created += 1
+        return created
+
+    # ------------------------------------------------------------------ BA
+    def bundle_adjust(self, iters: int = 15) -> float:
+        s = self.s
+        img_ids = sorted(s.poses.keys())
+        pt_ids = sorted(s.points.keys())
+        if len(pt_ids) == 0:
+            return 0.0
+        img_index = {iid: k for k, iid in enumerate(img_ids)}
+        pt_index = {pid: k for k, pid in enumerate(pt_ids)}
+
+        n_img = len(img_ids)
+        n_pts_pad = _next_pow2(len(pt_ids))
+        obs = []
+        for pid in pt_ids:
+            for iid, f in s.tracks[pid]:
+                obs.append(
+                    (img_index[iid], pt_index[pid], s.keypoints[iid][f])
+                )
+        n_obs_pad = _next_pow2(len(obs), 256)
+
+        cam = np.zeros((n_img, 6), np.float32)
+        Ks = np.zeros((n_img, 3, 3), np.float32)
+        for iid, k in img_index.items():
+            R, t = s.poses[iid]
+            cam[k, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+            cam[k, 3:] = t
+            Ks[k] = s.K(iid)
+        pts = np.zeros((n_pts_pad, 3), np.float32)
+        pts[: len(pt_ids)] = np.stack([s.points[p] for p in pt_ids])
+
+        obs_cam = np.zeros(n_obs_pad, np.int32)
+        obs_pt = np.zeros(n_obs_pad, np.int32)
+        obs_xy = np.zeros((n_obs_pad, 2), np.float32)
+        obs_valid = np.zeros(n_obs_pad, bool)
+        for k, (ci, pi, xy) in enumerate(obs):
+            obs_cam[k], obs_pt[k], obs_xy[k], obs_valid[k] = ci, pi, xy, True
+
+        # Gauge: fix only the first camera; the scale direction is a null
+        # direction of JᵀJ that LM damping keeps bounded (Ceres-style).
+        fixed = np.zeros(n_img, bool)
+        fixed[0] = True
+
+        problem = BAProblem(
+            cam_params=jnp.asarray(cam),
+            points=jnp.asarray(pts),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_point=jnp.asarray(obs_pt),
+            obs_xy=jnp.asarray(obs_xy),
+            obs_valid=jnp.asarray(obs_valid),
+            K=jnp.asarray(Ks),
+            fixed_cam_mask=jnp.asarray(fixed),
+        )
+        cam_out, pts_out, msr = bundle_adjust(problem, iters=iters)
+        cam_out = np.asarray(cam_out, np.float64)
+        pts_out = np.asarray(pts_out, np.float64)
+        for iid, k in img_index.items():
+            R = np.asarray(axis_angle_to_matrix(jnp.asarray(cam_out[k, :3])))
+            s.poses[iid] = (R, cam_out[k, 3:])
+        for pid, k in pt_index.items():
+            s.points[pid] = pts_out[k]
+        return float(msr)
+
+    def filter_points(self) -> int:
+        """Drop points with high mean reprojection error or too-short tracks."""
+        s = self.s
+        removed = 0
+        thr = self.cfg.filter_max_reproj_error_px
+        for pid in list(s.points.keys()):
+            track = s.tracks[pid]
+            if len(track) < 2:
+                s.remove_point(pid)
+                removed += 1
+                continue
+            errs = []
+            behind = False
+            for iid, f in track:
+                R, t = s.poses[iid]
+                e = _reproj_errors(
+                    R, t, s.K(iid), s.points[pid][None], s.keypoints[iid][f][None]
+                )[0]
+                if not np.isfinite(e):
+                    behind = True
+                errs.append(e)
+            if behind or np.mean(errs) > thr:
+                s.remove_point(pid)
+                removed += 1
+        return removed
+
+    # ------------------------------------------------------------- finalize
+    def to_reconstruction(self) -> Reconstruction:
+        s = self.s
+        rec = Reconstruction()
+        for cid, cam in s.cameras.items():
+            rec.cameras[cid] = Camera(
+                camera_id=cid,
+                model=cam["model"],
+                width=cam["width"],
+                height=cam["height"],
+                params=np.asarray(cam["params"], np.float64),
+            )
+        point_errors: dict[int, list[float]] = {p: [] for p in s.points}
+        for iid in s.poses:
+            kps = s.keypoints[iid]
+            pids = np.full(len(kps), -1, np.int64)
+            for (im, f), pid in s.kp_to_point.items():
+                if im == iid and pid in s.points:
+                    pids[f] = pid
+            R, t = s.poses[iid]
+            rec.images[iid] = Image(
+                image_id=iid,
+                name=s.images[iid]["name"],
+                camera_id=s.images[iid]["camera_id"],
+                qvec=_qvec_from_R(R),
+                tvec=np.asarray(t, np.float64),
+                xys=kps.astype(np.float64),
+                point3D_ids=pids,
+            )
+        for pid, xyz in s.points.items():
+            errs = []
+            for iid, f in s.tracks[pid]:
+                if iid in s.poses:
+                    R, t = s.poses[iid]
+                    e = _reproj_errors(
+                        R, t, s.K(iid), xyz[None], s.keypoints[iid][f][None]
+                    )[0]
+                    if np.isfinite(e):
+                        errs.append(e)
+            rec.points3D[pid] = Point3D(
+                point3D_id=pid,
+                xyz=np.asarray(xyz, np.float64),
+                error=float(np.mean(errs)) if errs else 0.0,
+                track=list(s.tracks[pid]),
+            )
+        return rec
+
+
+def incremental_mapping(
+    db_path: Path | str,
+    image_dir: Path | str,
+    output_path: Path | str,
+    config: ReconstructionConfig | None = None,
+) -> dict[int, Reconstruction]:
+    """Build one or more sparse models from a matched+verified database."""
+    config = config or ReconstructionConfig()
+    output_path = Path(output_path)
+
+    db = ColmapDatabase(db_path)
+    cameras = db.read_cameras()
+    images = db.read_images()
+    keypoints = {}
+    for iid in images:
+        k = db.read_keypoints(iid)
+        keypoints[iid] = (
+            k[:, :2] if k is not None and len(k) else np.zeros((0, 2), np.float32)
+        )
+    geometries = db.read_all_two_view_geometries()
+    db.close()
+
+    pair_matches = {
+        ids: g["inlier_matches"].astype(np.int64)
+        for ids, g in geometries.items()
+        if len(g["inlier_matches"]) >= config.min_num_matches
+    }
+    logger.info(
+        "Mapper input: %d images, %d verified pairs", len(images), len(pair_matches)
+    )
+
+    reconstructions: dict[int, Reconstruction] = {}
+    remaining = set(images.keys())
+    model_idx = 0
+    while len(remaining) >= 2 and model_idx < config.max_models:
+        sub_pairs = {
+            (a, b): m
+            for (a, b), m in pair_matches.items()
+            if a in remaining and b in remaining
+        }
+        if not sub_pairs:
+            break
+        state = _MapperState(
+            cameras,
+            {i: images[i] for i in remaining},
+            {i: keypoints[i] for i in remaining},
+        )
+        mapper = IncrementalMapper(state, sub_pairs, config)
+        if not mapper.initialize():
+            break
+        mapper.bundle_adjust(iters=config.ba_local_iters)
+        mapper.filter_points()
+
+        stalled = 0
+        reg_since_ba = 0
+        while True:
+            iid, corrs = mapper.find_next_image()
+            if iid is None:
+                break
+            if not mapper.register_image(iid, corrs):
+                stalled += 1
+                if stalled > 2:
+                    break
+                continue
+            stalled = 0
+            mapper.triangulate_new(iid)
+            reg_since_ba += 1
+            if reg_since_ba >= 3:
+                mapper.bundle_adjust(iters=config.ba_local_iters)
+                mapper.filter_points()
+                reg_since_ba = 0
+
+        mapper.bundle_adjust(iters=config.ba_global_iters)
+        mapper.filter_points()
+        rec = mapper.to_reconstruction()
+        if len(rec.images) >= 2 and len(rec.points3D) >= 10:
+            rec.write(output_path / str(model_idx))
+            reconstructions[model_idx] = rec
+            logger.info(
+                "Model %d: %d images, %d points, mean reproj %.3f px",
+                model_idx,
+                len(rec.images),
+                len(rec.points3D),
+                rec.mean_reprojection_error(),
+            )
+            model_idx += 1
+        remaining -= set(state.poses.keys())
+        if not config.multiple_models:
+            break
+    return reconstructions
