@@ -1,0 +1,194 @@
+"""Hybrid extractor: classical keypoint localization + ViT descriptors.
+
+Parity with the reference's experimental hybrid extractor
+(``features/hybrid_extractor.py:23-443``, unexported there; exported and
+wired into the Pipeline here): a classical detector (cv2 SIFT / FAST /
+GFTT / ORB) localizes keypoints on the host, DINOv2 patch features are
+sampled bilinearly at those locations on device, and descriptors get
+**RootSIFT-style** normalization (L1 -> sqrt -> L2,
+``hybrid_extractor.py:286-288``) before signed uint8 quantization.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.features.base_extractor import BaseExtractor, list_images
+from vit_colmap_tpu.models.dinov2 import (
+    PATCH_SIZE,
+    make_backbone,
+    patch_grid_size,
+    preprocess,
+)
+from vit_colmap_tpu.ops.interpolate import (
+    apply_pca,
+    bilinear_sample_batched,
+    fit_pca,
+    quantize_descriptors_signed,
+)
+from vit_colmap_tpu.utils.config import CameraConfig
+
+logger = logging.getLogger(__name__)
+
+
+def rootsift_normalize(desc: jax.Array) -> jax.Array:
+    """L1-normalize -> signed sqrt -> L2-normalize (RootSIFT)."""
+    l1 = jnp.maximum(jnp.sum(jnp.abs(desc), axis=-1, keepdims=True), 1e-8)
+    d = desc / l1
+    d = jnp.sign(d) * jnp.sqrt(jnp.abs(d))
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+
+
+class HybridExtractor(BaseExtractor):
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        backbone: str = "vitb14",
+        detector: str = "sift",  # sift | fast | gftt | orb
+        max_keypoints: int = 4096,
+        descriptor_dim: int = 128,
+        image_batch: int = 2,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.detector_name = detector
+        self.max_keypoints = max_keypoints
+        self.descriptor_dim = descriptor_dim
+        self.image_batch = image_batch
+
+        self.model, self.cfg = make_backbone(backbone, dtype=dtype)
+        if weights_path:
+            from vit_colmap_tpu.models.convert import load_torch_checkpoint
+
+            self.params = load_torch_checkpoint(str(weights_path), self.cfg)
+        else:
+            logger.warning(
+                "No weights provided; DINOv2 backbone is randomly initialized"
+            )
+            self.params = self.model.init(
+                jax.random.key(seed), jnp.zeros((1, 224, 224, 3))
+            )
+        self._pca = None
+        self._dense = None
+
+    def _make_detector(self):
+        import cv2
+
+        name = self.detector_name
+        if name == "sift":
+            return cv2.SIFT_create(nfeatures=self.max_keypoints)
+        if name == "fast":
+            return cv2.FastFeatureDetector_create()
+        if name == "gftt":
+            return cv2.GFTTDetector_create(maxCorners=self.max_keypoints)
+        if name == "orb":
+            return cv2.ORB_create(nfeatures=self.max_keypoints)
+        raise ValueError(f"Unknown detector {name!r}")
+
+    def _dense_features(self, images_u8: np.ndarray) -> jax.Array:
+        if self._dense is None:
+            model = self.model
+
+            @jax.jit
+            def dense(params, imgs):
+                out = model.apply(params, preprocess(imgs))
+                gh, gw = out["grid"]
+                return out["x_norm_patchtokens"].reshape(
+                    imgs.shape[0], gh, gw, -1
+                ).astype(jnp.float32)
+
+            self._dense = dense
+        return self._dense(self.params, jnp.asarray(images_u8))
+
+    def describe(self, fmap: jax.Array, kpts_grid: np.ndarray) -> np.ndarray:
+        """(B, gh, gw, C) + (B, K, 2) grid coords -> (B, K, D) uint8."""
+        desc = bilinear_sample_batched(fmap, jnp.asarray(kpts_grid))
+        if self._pca is None:
+            flat = fmap.reshape(-1, fmap.shape[-1])
+            self._pca = fit_pca(flat, self.descriptor_dim)
+        desc = apply_pca(desc, *self._pca)
+        desc = rootsift_normalize(desc)
+        return np.asarray(quantize_descriptors_signed(desc))
+
+    def extract(
+        self,
+        image_dir: Path,
+        db_path: Path,
+        camera_model: str,
+        camera_params: Optional[list[float]] = None,
+    ) -> None:
+        import cv2
+
+        image_dir = Path(image_dir)
+        files = list_images(image_dir)
+        if not files:
+            logger.error("No images found in %s", image_dir)
+            return
+
+        detector = self._make_detector()
+        db = ColmapDatabase(db_path)
+        camera_ids: dict[tuple[int, int], int] = {}
+        groups: dict[tuple[int, int], list[tuple[Path, np.ndarray]]] = {}
+        for f in files:
+            img = cv2.imread(str(f))
+            if img is None:
+                continue
+            groups.setdefault(img.shape[:2], []).append((f, img))
+
+        for (oh, ow), items in groups.items():
+            th, tw = patch_grid_size(oh, ow)
+            if (oh, ow) not in camera_ids:
+                params = camera_params or CameraConfig(
+                    model=camera_model
+                ).get_default_params(ow, oh)
+                camera_ids[(oh, ow)] = db.add_camera(camera_model, ow, oh, params)
+            cam_id = camera_ids[(oh, ow)]
+            B = self.image_batch
+            for s in range(0, len(items), B):
+                chunk = items[s : s + B]
+                batch = np.zeros((B, th, tw, 3), np.uint8)
+                kpts_px = []
+                for b, (f, img) in enumerate(chunk):
+                    gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+                    kps = detector.detect(gray, None)
+                    kps = sorted(kps, key=lambda k: -k.response)[
+                        : self.max_keypoints
+                    ]
+                    pts = np.array(
+                        [k.pt for k in kps], np.float32
+                    ).reshape(-1, 2)
+                    kpts_px.append(pts)
+                    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                    if (oh, ow) != (th, tw):
+                        rgb = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
+                    batch[b] = rgb
+
+                fmap = self._dense_features(batch)
+                k_max = max((len(p) for p in kpts_px), default=0)
+                if k_max == 0:
+                    for f, _ in chunk:
+                        db.add_image(f.name, camera_id=cam_id)
+                    continue
+                grid = np.zeros((B, k_max, 2), np.float32)
+                for b, pts in enumerate(kpts_px):
+                    if len(pts):
+                        # original px -> resized px -> feature-grid coords
+                        # (with the -0.5 patch-center offset).
+                        gx = pts[:, 0] * (tw / ow) / PATCH_SIZE - 0.5
+                        gy = pts[:, 1] * (th / oh) / PATCH_SIZE - 0.5
+                        grid[b, : len(pts)] = np.stack([gx, gy], 1)
+                desc = self.describe(fmap, grid)
+                for b, (f, _) in enumerate(chunk):
+                    pts = kpts_px[b]
+                    image_id = db.add_image(f.name, camera_id=cam_id)
+                    db.add_keypoints(image_id, pts)
+                    db.add_descriptors(image_id, desc[b, : len(pts)])
+        db.commit()
+        db.close()

@@ -1,0 +1,92 @@
+"""SIFT extractor — the framework's ``colmap_sift`` equivalent.
+
+The reference delegates to COLMAP's native SIFT
+(``features/colmap_sift_extractor.py:9-43``); here SIFT itself is a JAX
+program (:mod:`vit_colmap_tpu.ops.sift`) so the whole extract path runs on
+the accelerator.  Writes 4-column COLMAP keypoints (x, y, scale,
+orientation) and x512-quantized uint8 descriptors.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from vit_colmap_tpu.database import ColmapDatabase
+from vit_colmap_tpu.features.base_extractor import BaseExtractor, list_images
+from vit_colmap_tpu.ops.sift import extract_sift
+from vit_colmap_tpu.utils.config import CameraConfig
+
+logger = logging.getLogger(__name__)
+
+
+class SiftExtractor(BaseExtractor):
+    def __init__(
+        self,
+        max_keypoints: int = 4096,
+        num_octaves: int = 4,
+        contrast_thresh: float = 0.02,
+        image_batch: int = 4,
+    ):
+        self.max_keypoints = max_keypoints
+        self.num_octaves = num_octaves
+        self.contrast_thresh = contrast_thresh
+        self.image_batch = image_batch
+
+    def extract(
+        self,
+        image_dir: Path,
+        db_path: Path,
+        camera_model: str,
+        camera_params: Optional[list[float]] = None,
+    ) -> None:
+        import cv2
+
+        image_dir = Path(image_dir)
+        files = list_images(image_dir)
+        if not files:
+            logger.error("No images found in %s", image_dir)
+            return
+
+        db = ColmapDatabase(db_path)
+        camera_ids: dict[tuple[int, int], int] = {}
+        groups: dict[tuple[int, int], list[tuple[Path, np.ndarray]]] = {}
+        for f in files:
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                logger.warning("Unreadable image skipped: %s", f)
+                continue
+            groups.setdefault(img.shape, []).append((f, img))
+
+        for (h, w), items in groups.items():
+            if (h, w) not in camera_ids:
+                params = camera_params or CameraConfig(
+                    model=camera_model
+                ).get_default_params(w, h)
+                camera_ids[(h, w)] = db.add_camera(camera_model, w, h, params)
+            cam_id = camera_ids[(h, w)]
+            B = self.image_batch
+            for s in range(0, len(items), B):
+                chunk = items[s : s + B]
+                gray = np.stack(
+                    [im.astype(np.float32) / 255.0 for _, im in chunk]
+                )
+                kpts_list, desc_list = extract_sift(
+                    gray,
+                    max_keypoints=self.max_keypoints,
+                    num_octaves=self.num_octaves,
+                    contrast_thresh=self.contrast_thresh,
+                )
+                for (f, _), kp, dc in zip(chunk, kpts_list, desc_list):
+                    image_id = db.add_image(f.name, camera_id=cam_id)
+                    db.add_keypoints(image_id, kp)
+                    db.add_descriptors(image_id, dc)
+        db.commit()
+        db.close()
+
+
+# Alias for reference-CLI parity (--use-colmap-sift / --extractor colmap_sift).
+ColmapSiftExtractor = SiftExtractor
