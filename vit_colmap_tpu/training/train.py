@@ -1,0 +1,365 @@
+"""Training CLI for the keypoint/descriptor heads.
+
+Mirrors the reference trainer's surface (``scripts/train_vit_features.py``:
+~45 argparse flags, AdamW + cosine LR with eta_min = lr/100, grad clip 1.0,
+random 90/10 train/val split, per-batch error-skip semantics, checkpoints
+``checkpoint_epoch_NNNN`` / ``best_model`` / ``latest`` with full state and
+resume) — rebuilt TPU-native:
+
+* one jitted DP train step over the device mesh (no AMP flags: compute is
+  bfloat16 by design; no torch.compile: everything is already XLA),
+* orbax checkpoints of {step, heads_params, opt_state} + epoch metadata,
+* structured JSONL scalar logging (``scalars.jsonl``) instead of the
+  reference's regex-parsed text log (SURVEY.md §5 observability note) — the
+  plotters read JSONL first and fall back to log parsing,
+* ``--synthetic-only`` trains on generated homography pairs when no HPatches
+  tree is available (this environment has no datasets).
+
+Usage: ``python -m vit_colmap_tpu.training.train --data-dir <hpatches> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Train ViT feature heads (TPU)")
+    # Data
+    ap.add_argument("--data-dir", type=Path, default=None, help="HPatches root")
+    ap.add_argument("--split", default="all",
+                    choices=["all", "illumination", "viewpoint", "train", "test"])
+    ap.add_argument("--pair-mode", default="all_pairs",
+                    choices=["reference_only", "consecutive", "all_pairs"])
+    ap.add_argument("--target-height", type=int, default=1200)
+    ap.add_argument("--target-width", type=int, default=1600)
+    ap.add_argument("--synthetic-ratio", type=float, default=0.5)
+    ap.add_argument("--synthetic-preset", default="moderate",
+                    choices=["conservative", "moderate", "aggressive"])
+    ap.add_argument("--synthetic-only", action="store_true",
+                    help="Train on generated image pairs (no dataset needed)")
+    ap.add_argument("--synthetic-image-size", type=int, default=224,
+                    help="Image side for --synthetic-only batches")
+    ap.add_argument("--val-fraction", type=float, default=0.1)
+    # Model
+    ap.add_argument("--backbone", default="vitb14")
+    ap.add_argument("--backbone-weights", type=Path, default=None)
+    ap.add_argument("--descriptor-dim", type=int, default=128)
+    # Optimization
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight-decay", type=float, default=1e-4)
+    ap.add_argument("--warmup-steps", type=int, default=100)
+    ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--steps-per-epoch", type=int, default=None,
+                    help="Cap steps per epoch (synthetic-only default 50)")
+    # Loss
+    ap.add_argument("--lambda-det", type=float, default=1.0)
+    ap.add_argument("--lambda-desc", type=float, default=1.0)
+    ap.add_argument("--alpha-orient", type=float, default=0.32)
+    ap.add_argument("--margin", type=float, default=0.5)
+    ap.add_argument("--top-k", type=int, default=512)
+    ap.add_argument("--num-in-image-neg", type=int, default=8)
+    ap.add_argument("--num-cross-neg", type=int, default=4)
+    ap.add_argument("--num-hard-neg", type=int, default=4)
+    # Checkpointing / logging
+    ap.add_argument("--output-dir", type=Path, default=Path("checkpoints"))
+    ap.add_argument("--save-interval", type=int, default=1, help="epochs")
+    ap.add_argument("--resume", type=Path, default=None)
+    ap.add_argument("--log-interval", type=int, default=10, help="steps")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--verbose", "-v", action="store_true")
+    return ap
+
+
+def _synthetic_batches(batch_size, h, w, steps, preset, seed):
+    """Generated-pair stream for --synthetic-only runs."""
+    import cv2
+
+    from vit_colmap_tpu.dataloader.synthetic_homography import (
+        SyntheticHomographyConfig,
+        create_synthetic_pair,
+    )
+
+    cfg = SyntheticHomographyConfig.preset(preset)
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        im1 = np.zeros((batch_size, h, w, 3), np.uint8)
+        im2 = np.zeros((batch_size, h, w, 3), np.uint8)
+        Hs = np.zeros((batch_size, 3, 3), np.float32)
+        for b in range(batch_size):
+            base = rng.integers(0, 255, (h // 4, w // 4, 3), dtype=np.uint8)
+            img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+            warped, H = create_synthetic_pair(img, cfg, rng)
+            im1[b], im2[b], Hs[b] = img, warped, H
+        yield {"image1": im1, "image2": im2, "H": Hs}
+
+
+class ScalarLogger:
+    """Structured JSONL scalar sink (one line per event)."""
+
+    def __init__(self, path: Path):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        self.f = open(path, "a")
+
+    def log(self, **scalars) -> None:
+        self.f.write(json.dumps({k: _py(v) for k, v in scalars.items()}) + "\n")
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
+def _py(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if hasattr(v, "item") and getattr(v, "size", 2) == 1:
+        return float(v)
+    return v
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="[%(asctime)s][%(filename)s:%(lineno)d][%(levelname)s] %(message)s",
+        datefmt="%H:%M:%S",
+    )
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_colmap_tpu.models.dinov2 import make_backbone
+    from vit_colmap_tpu.models.feature_model import (
+        FeatureHeads,
+        FeatureModelConfig,
+        count_parameters,
+    )
+    from vit_colmap_tpu.parallel.mesh import get_mesh
+    from vit_colmap_tpu.training.train_step import (
+        TrainState,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    devices = jax.devices()
+    mesh = get_mesh()
+    logger.info("Devices: %s (mesh %s)", devices, dict(mesh.shape))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    # ----------------------------------------------------------------- data
+    if args.synthetic_only or args.data_dir is None:
+        if args.data_dir is None and not args.synthetic_only:
+            logger.warning("--data-dir not given; falling back to --synthetic-only")
+        from vit_colmap_tpu.dataloader.hpatches_dataset import patch_aligned
+
+        h = w = patch_aligned(args.synthetic_image_size)
+        steps_per_epoch = args.steps_per_epoch or 50
+        def train_stream(epoch):
+            return _synthetic_batches(
+                args.batch_size, h, w, steps_per_epoch,
+                args.synthetic_preset, args.seed + epoch,
+            )
+        def val_stream():
+            return _synthetic_batches(
+                args.batch_size, h, w, max(steps_per_epoch // 10, 2),
+                args.synthetic_preset, 10_000,
+            )
+    else:
+        from vit_colmap_tpu.dataloader.hpatches_dataset import (
+            HPatchesDataset,
+            train_val_split,
+        )
+        from vit_colmap_tpu.dataloader.synthetic_homography import (
+            SyntheticHomographyConfig,
+        )
+
+        dataset = HPatchesDataset(
+            args.data_dir,
+            split=args.split,
+            pair_mode=args.pair_mode,
+            target_height=args.target_height,
+            target_width=args.target_width,
+            synthetic_ratio=args.synthetic_ratio,
+            synthetic_config=SyntheticHomographyConfig.preset(
+                args.synthetic_preset
+            ),
+            seed=args.seed,
+        )
+        train_idx, val_idx = train_val_split(dataset, args.val_fraction, args.seed)
+        steps_per_epoch = args.steps_per_epoch or max(
+            len(train_idx) // args.batch_size, 1
+        )
+
+        def _stream(indices, shuffle_seed):
+            order = np.array(indices)
+            np.random.default_rng(shuffle_seed).shuffle(order)
+            B = args.batch_size
+            for s in range(0, len(order) - B + 1, B):
+                items = []
+                for i in order[s : s + B]:
+                    try:
+                        items.append(dataset[int(i)])
+                    except Exception as e:  # skip unreadable samples
+                        logger.warning("Skipping sample %d: %s", i, e)
+                if len(items) < B:
+                    continue
+                yield {
+                    "image1": np.stack([it["image1"] for it in items]),
+                    "image2": np.stack([it["image2"] for it in items]),
+                    "H": np.stack([it["H"] for it in items]),
+                }
+
+        def train_stream(epoch):
+            return _stream(train_idx, args.seed + epoch)
+
+        def val_stream():
+            return _stream(val_idx, 10_000)
+
+    # ---------------------------------------------------------------- model
+    backbone, bcfg = make_backbone(args.backbone)
+    key = jax.random.key(args.seed)
+    bparams = backbone.init(key, jnp.zeros((1, 224, 224, 3)))
+    if args.backbone_weights:
+        from vit_colmap_tpu.models.convert import load_torch_checkpoint
+
+        bparams = load_torch_checkpoint(str(args.backbone_weights), bcfg)
+        logger.info("Loaded backbone weights from %s", args.backbone_weights)
+    hcfg = FeatureModelConfig(
+        backbone=args.backbone, descriptor_dim=args.descriptor_dim
+    )
+    heads = FeatureHeads(hcfg)
+    hparams = heads.init(key, jnp.zeros((1, 16, 16, bcfg.embed_dim)))
+    logger.info(
+        "Trainable parameters: %s", f"{count_parameters(hparams):,}"
+    )
+
+    total_steps = args.epochs * steps_per_epoch
+    optimizer = make_optimizer(
+        args.lr, args.weight_decay, total_steps, args.warmup_steps, args.grad_clip
+    )
+    state = init_train_state(hparams, optimizer)
+    step_fn, eval_fn = make_train_step(
+        backbone.apply,
+        heads.apply,
+        optimizer,
+        loss_kwargs=dict(
+            lambda_det=args.lambda_det,
+            lambda_desc=args.lambda_desc,
+            alpha_orient=args.alpha_orient,
+            margin=args.margin,
+        ),
+        batch_kwargs=dict(
+            top_k=args.top_k,
+            num_in_image=args.num_in_image_neg,
+            num_cross=args.num_cross_neg,
+            num_hard=args.num_hard_neg,
+        ),
+    )
+
+    # ---------------------------------------------------------- checkpoints
+    out_dir = args.output_dir.resolve()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    start_epoch = 0
+    if args.resume:
+        restored = ckptr.restore(
+            Path(args.resume).resolve(), jax.tree_util.tree_map(np.asarray, state)
+        )
+        state = TrainState(*restored)
+        meta_path = Path(args.resume).resolve().parent / "meta.json"
+        if meta_path.exists():
+            start_epoch = json.load(open(meta_path)).get("epoch", 0)
+        logger.info("Resumed from %s at step %d", args.resume, int(state.step))
+
+    def save(name: str, epoch: int):
+        path = out_dir / name
+        ckptr.save(
+            path, jax.tree_util.tree_map(np.asarray, state), force=True
+        )
+        # StandardCheckpointer is async; block so process exit can't race an
+        # in-flight save.
+        ckptr.wait_until_finished()
+        json.dump(
+            {"epoch": epoch, "step": int(state.step)}, open(out_dir / "meta.json", "w")
+        )
+
+    scalars = ScalarLogger(out_dir / "scalars.jsonl")
+    bparams = jax.device_put(bparams, replicated)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated), state)
+
+    # ------------------------------------------------------------ train loop
+    best_val = float("inf")
+    rng_key = jax.random.key(args.seed + 1)
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for i, batch in enumerate(train_stream(epoch)):
+            try:
+                batch = {
+                    k: jax.device_put(v, batch_sharding) for k, v in batch.items()
+                }
+                rng_key, sub = jax.random.split(rng_key)
+                state, metrics = step_fn(state, bparams, batch, sub)
+                loss = float(metrics["total_loss"])
+                losses.append(loss)
+                if i % args.log_interval == 0:
+                    scalars.log(
+                        event="train", epoch=epoch, step=int(state.step),
+                        **{k: float(v) for k, v in metrics.items()},
+                    )
+                    logger.info(
+                        "epoch %d step %d loss %.4f (det %.4f desc %.4f)",
+                        epoch, int(state.step), loss,
+                        float(metrics["detector_loss"]),
+                        float(metrics["descriptor_loss"]),
+                    )
+            except Exception:
+                logger.exception("Batch failed; continuing")  # reference parity
+                continue
+        dt = time.perf_counter() - t0
+        n_steps = len(losses)
+        logger.info(
+            "epoch %d done: %d steps, %.2f s/step, mean loss %.4f",
+            epoch, n_steps, dt / max(n_steps, 1), float(np.mean(losses or [0])),
+        )
+
+        # validation
+        val_losses = []
+        for batch in val_stream():
+            batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
+            rng_key, sub = jax.random.split(rng_key)
+            m = eval_fn(state, bparams, batch, sub)
+            val_losses.append(float(m["total_loss"]))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        scalars.log(event="val", epoch=epoch, step=int(state.step), total_loss=val_loss)
+        logger.info("epoch %d val loss %.4f", epoch, val_loss)
+
+        save("latest", epoch + 1)
+        if (epoch + 1) % args.save_interval == 0:
+            save(f"checkpoint_epoch_{epoch + 1:04d}", epoch + 1)
+        if val_loss < best_val:
+            best_val = val_loss
+            save("best_model", epoch + 1)
+            logger.info("new best model (val %.4f)", val_loss)
+
+    scalars.close()
+    logger.info("Training complete. Checkpoints in %s", out_dir)
+
+
+if __name__ == "__main__":
+    main()
