@@ -167,12 +167,23 @@ def match_exhaustive(
             if len(m) > 0:
                 all_matches[(i, j)] = m
 
+    # Bulk writes go through the native C++ writer when built
+    # (native/db_writer.cc); the Python layer is the fallback.
+    db.close()
+    writer = db
+    try:
+        from vit_colmap_tpu.database.native import NativeDatabaseWriter
+
+        writer = NativeDatabaseWriter(db_path)
+    except Exception:
+        writer = ColmapDatabase(db_path)
+
     for (i, j), m in all_matches.items():
-        db.add_matches(image_ids[i], image_ids[j], m)
+        writer.add_matches(image_ids[i], image_ids[j], m)
         stats.total_matches += len(m)
     stats.matched_pairs = len(all_matches)
     stats.match_seconds = time.perf_counter() - t0
-    db.commit()
+    writer.commit()
     logger.info(
         "Matched %d/%d pairs (%d matches) in %.2fs",
         stats.matched_pairs,
@@ -238,7 +249,7 @@ def match_exhaustive(
                     inliers = m[inl_masks[b, : len(m)]]
                     if configs[b] == TWO_VIEW_CONFIG["DEGENERATE"]:
                         continue
-                    db.add_two_view_geometry(
+                    writer.add_two_view_geometry(
                         image_ids[i],
                         image_ids[j],
                         inliers,
@@ -251,7 +262,7 @@ def match_exhaustive(
                     )
                     stats.verified_pairs += 1
                     stats.total_inliers += len(inliers)
-        db.commit()
+        writer.commit()
         stats.verify_seconds = time.perf_counter() - t1
         logger.info(
             "Verified %d pairs (%d inliers) in %.2fs",
@@ -260,5 +271,5 @@ def match_exhaustive(
             stats.verify_seconds,
         )
 
-    db.close()
+    writer.close()
     return stats
