@@ -37,7 +37,9 @@ def run_bench(
     import jax.numpy as jnp
 
     from vit_colmap_tpu.features.vit_extractor import ViTExtractor
-    from vit_colmap_tpu.ops.matching import match_pairs_batched, normalize_descriptors
+    from vit_colmap_tpu.ops.matching import get_pair_matcher, normalize_descriptors
+
+    match_pairs = get_pair_matcher()  # Pallas kernel on TPU, XLA on CPU
 
     rng = np.random.default_rng(0)
     # Smooth synthetic images (pure noise defeats detection binning edge cases
@@ -88,7 +90,7 @@ def run_bench(
 
     # Warmup the matching program.
     i1 = jnp.zeros((pair_batch,), jnp.int32)
-    _ = match_pairs_batched(
+    _ = match_pairs(
         jnp.take(d_dev, i1, 0), jnp.take(d_dev, i1, 0),
         jnp.take(v_dev, i1, 0), jnp.take(v_dev, i1, 0),
     ).block_until_ready()
@@ -100,7 +102,7 @@ def run_bench(
         padn = pair_batch - len(chunk)
         ii = jnp.asarray([c[0] for c in chunk] + [0] * padn, jnp.int32)
         jj = jnp.asarray([c[1] for c in chunk] + [0] * padn, jnp.int32)
-        out = match_pairs_batched(
+        out = match_pairs(
             jnp.take(d_dev, ii, 0),
             jnp.take(d_dev, jj, 0),
             jnp.take(v_dev, ii, 0),

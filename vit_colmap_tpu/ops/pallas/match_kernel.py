@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: fused similarity-matmul + top-2 for descriptor matching.
+
+The XLA path (:mod:`vit_colmap_tpu.ops.matching`) materializes the full
+(N, M) cosine-similarity matrix in HBM before ``top_k`` — 64 MB per pair at
+N = M = 4096.  This kernel tiles the matmul over (row-tile, col-tile) MXU
+blocks and reduces each row tile's top-2 *inside* the kernel, so only
+(N, M / TM) partials ever leave VMEM (~1.5 MB per pair): a ~40x cut in HBM
+traffic for the matching stage, which is bandwidth-bound.
+
+Design notes (see pallas_guide.md):
+* grid = (pairs, N/TN, M/TM); every program computes one (TN, TM) similarity
+  block with ``jnp.dot`` (MXU) and its per-row top-2 (VPU),
+* each program writes its own output block — no cross-program accumulation,
+  the tiny (N, M/TM) partial merge runs in XLA afterwards,
+* cross-check reuses the same kernel with arguments swapped,
+* ``interpret=True`` (auto on CPU) keeps unit tests hardware-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TN = 128  # row tile
+TM = 128  # column tile
+
+
+def _topk2_block_kernel(d1_ref, d2_ref, v2_ref, vals_ref, idx_ref):
+    """Accumulates running (best, second, best_idx) across m-tiles.
+
+    The output blocks are revisited for every m step (their index_map ignores
+    m), so the running top-2 merge happens in fast memory; HBM only sees the
+    final block.  Outputs are (TN, 128) tiles with the payload in columns
+    0..1 (tiling rules require 128 lanes).
+    """
+    m = pl.program_id(2)
+    d1 = d1_ref[0]  # (TN, D) — blocks carry a leading (1,) pair dim
+    d2 = d2_ref[0]  # (TM, D)
+    v2 = v2_ref[0]  # (1, TM)
+    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # (TN, TM)
+    sim = jnp.where(v2 > 0, sim, -2.0)
+    # Manual top-2 (lax.top_k has no Pallas TPU lowering): max, mask the
+    # argmax column (first occurrence on ties, like argmax), max again.
+    local_b = jnp.max(sim, axis=1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    local_i_rel = jnp.min(
+        jnp.where(sim >= local_b[:, None], col_ids, TM), axis=1
+    )
+    sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
+    local_s = jnp.max(sim_wo, axis=1)
+    local_i = local_i_rel + m * TM
+
+    @pl.when(m == 0)
+    def _():
+        vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+    b_old = vals_ref[0, :, 0]
+    s_old = vals_ref[0, :, 1]
+    i_old = idx_ref[0, :, 0]
+    new_b = jnp.maximum(b_old, local_b)
+    new_s = jnp.maximum(jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s))
+    new_i = jnp.where(local_b > b_old, local_i, i_old)
+    vals_ref[0, :, 0] = new_b
+    vals_ref[0, :, 1] = new_s
+    idx_ref[0, :, 0] = new_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_topk2(
+    d1: jax.Array,  # (P, N, D) float32, rows L2-normalized
+    d2: jax.Array,  # (P, M, D)
+    valid2: jax.Array,  # (P, M) bool
+    interpret: bool = False,
+):
+    """Per-row (best, second, best_idx) of d1 @ d2.T with invalid columns
+    masked.  N, M, D must be multiples of the 128 tile."""
+    P, N, D = d1.shape
+    M = d2.shape[1]
+    assert N % TN == 0 and M % TM == 0, (N, M)
+    n_mt = M // TM
+    v2 = valid2.astype(jnp.float32).reshape(P, 1, M)
+
+    grid = (P, N // TN, n_mt)
+    out_shape = [
+        jax.ShapeDtypeStruct((P, N, 128), jnp.float32),  # cols 0/1: best/sec
+        jax.ShapeDtypeStruct((P, N, 128), jnp.int32),  # col 0: best idx
+    ]
+    vals, idx = pl.pallas_call(
+        _topk2_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TN, D), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, TM, D), lambda p, n, m: (p, m, 0)),
+            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(d1, d2, v2)
+    return vals[..., 0], vals[..., 1], idx[..., 0]
+
+
+def _kernel_blocks_squeezed(fn):
+    """Pallas passes blocks with the leading grid dims collapsed; the kernel
+    above indexes with [...] so both (TN, D) and (1, TN, D) layouts work."""
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cross_check", "interpret")
+)
+def pallas_match_pairs(
+    d1: jax.Array,  # (P, N, D)
+    d2: jax.Array,  # (P, M, D)
+    valid1: jax.Array,  # (P, N)
+    valid2: jax.Array,  # (P, M)
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ``match_pairs_batched`` -> (P, N) int32."""
+    best, second, best_idx = pallas_topk2(d1, d2, valid2, interpret=interpret)
+
+    dist_best = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    dist_second = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    keep = valid1
+    keep &= dist_best <= max_distance
+    keep &= dist_best <= max_ratio * dist_second
+
+    if cross_check:
+        b21, _, i21 = pallas_topk2(d2, d1, valid1, interpret=interpret)
+        n = d1.shape[1]
+        # mutual: the best column's best row must be this row.
+        back = jnp.take_along_axis(i21, best_idx, axis=1)
+        keep &= back == jnp.arange(n, dtype=back.dtype)[None]
+
+    return jnp.where(keep, best_idx, -1).astype(jnp.int32)

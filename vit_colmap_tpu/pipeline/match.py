@@ -32,8 +32,9 @@ import numpy as np
 from vit_colmap_tpu.database import ColmapDatabase, TWO_VIEW_CONFIG
 from vit_colmap_tpu.ops.matching import (
     compact_matches,
-    match_pairs_batched,
+    get_pair_matcher,
     normalize_descriptors,
+    resolve_use_pallas,
 )
 from vit_colmap_tpu.ops.ransac import estimate_two_view_batched
 from vit_colmap_tpu.utils.config import MatchingConfig
@@ -63,7 +64,7 @@ def camera_matrix(cam: dict) -> np.ndarray:
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
 
 
-@partial(jax.jit, static_argnames=("cross_check",))
+@partial(jax.jit, static_argnames=("cross_check", "use_pallas"))
 def _match_pair_batch(
     desc: jax.Array,  # (num_images, N, D) normalized
     valid: jax.Array,  # (num_images, N)
@@ -72,14 +73,14 @@ def _match_pair_batch(
     max_ratio: float,
     max_distance: float,
     cross_check: bool,
+    use_pallas: bool,
 ) -> jax.Array:
     d1 = jnp.take(desc, idx1, axis=0)
     d2 = jnp.take(desc, idx2, axis=0)
     v1 = jnp.take(valid, idx1, axis=0)
     v2 = jnp.take(valid, idx2, axis=0)
-    return match_pairs_batched(
-        d1, d2, v1, v2, max_ratio, max_distance, cross_check
-    )
+    matcher = get_pair_matcher(use_pallas)
+    return matcher(d1, d2, v1, v2, max_ratio, max_distance, cross_check)
 
 
 @dataclass
@@ -160,6 +161,7 @@ def match_exhaustive(
             config.max_ratio,
             config.max_distance,
             config.cross_check,
+            resolve_use_pallas(config.use_pallas) and dim % 128 == 0,
         )
         out = np.asarray(out)
         for b, (i, j) in enumerate(chunk):
