@@ -132,9 +132,9 @@ class ViTExtractor(BaseExtractor):
 
         return dense_features, detect_and_describe
 
-    def extract_batch(self, images_u8: np.ndarray):
-        """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
-        (xy grid coords, scores, valid, uint8 desc) as numpy."""
+    def extract_batch_async(self, images_u8: np.ndarray):
+        """Dispatch one batch; returns device arrays (not synced) so callers
+        can pipeline host->device transfers against compute."""
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features, detect_and_describe = self._forward
@@ -148,7 +148,12 @@ class ViTExtractor(BaseExtractor):
                 self.descriptor_dim,
                 flat.shape[0],
             )
-        xy, sc, valid, desc = detect_and_describe(fmap, *self._pca)
+        return detect_and_describe(fmap, *self._pca)
+
+    def extract_batch(self, images_u8: np.ndarray):
+        """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
+        (xy grid coords, scores, valid, uint8 desc) as numpy."""
+        xy, sc, valid, desc = self.extract_batch_async(images_u8)
         return (
             np.asarray(xy),
             np.asarray(sc),

@@ -55,6 +55,10 @@ class ViTConfig:
     # Grid size the pretrained pos-embed was trained at (518/14 = 37).
     pretrain_grid: int = 37
     dtype: Any = jnp.bfloat16
+    # Attention implementation: "auto" (flash on TPU for long sequences),
+    # "xla", or "flash".  Flash = Pallas fused attention; measured 1.8x over
+    # XLA at 9.7K tokens on v5e (11.05 vs 20.01 ms/layer, B=2).
+    attn_impl: str = "auto"
 
     @classmethod
     def named(cls, name: str, **overrides) -> "ViTConfig":
@@ -75,6 +79,49 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+_FLASH_BLOCK = 1024
+
+
+def _use_flash(impl: str, n_tokens: int) -> bool:
+    if impl == "xla":
+        return False
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+    if impl == "flash":
+        return on_tpu
+    return on_tpu and n_tokens >= _FLASH_BLOCK
+
+
+def _flash_attention(q, k, v, sm_scale):
+    """Pallas fused attention with padding to the block size and segment-id
+    masking of pad tokens (kernel requires seq % block == 0)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, N, d = q.shape
+    n_pad = (-N) % _FLASH_BLOCK
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    ids = (jnp.arange(N + n_pad) < N).astype(jnp.int32)
+    ids = jnp.broadcast_to(ids, (B, N + n_pad))
+    bs = BlockSizes(
+        block_q=_FLASH_BLOCK,
+        block_k_major=_FLASH_BLOCK,
+        block_k=_FLASH_BLOCK,
+        block_b=1,
+    )
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=ids, kv=ids),
+        sm_scale=sm_scale, block_sizes=bs,
+    )
+    return out[:, :, :N]
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -87,12 +134,17 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         # (B, H, N, d)
-        q = jnp.swapaxes(q, 1, 2) * (head_dim**-0.5)
+        q = jnp.swapaxes(q, 1, 2)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if _use_flash(c.attn_impl, N):
+            out = _flash_attention(q, k, v, sm_scale=head_dim**-0.5)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * (head_dim**-0.5), k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                c.dtype
+            )
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
         return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(out)
 

@@ -120,7 +120,10 @@ def get_pair_matcher(use_pallas: bool | None = None):
     if resolve_use_pallas(use_pallas):
         from vit_colmap_tpu.ops.pallas.match_kernel import pallas_match_pairs
 
-        def matcher(d1, d2, v1, v2, max_ratio, max_distance, cross_check):
+        def matcher(
+            d1, d2, v1, v2,
+            max_ratio=0.8, max_distance=0.7, cross_check=True,
+        ):
             if d1.shape[-1] % 128 == 0 and d1.shape[-2] % 128 == 0:
                 return pallas_match_pairs(
                     d1, d2, v1, v2, max_ratio, max_distance, cross_check

@@ -142,10 +142,29 @@ def match_exhaustive(
     desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
     valid_dev = jnp.asarray(valid)
 
+    # Multi-chip: replicate descriptors, shard pair batches over the data
+    # axis — each chip matches its slice of pairs (SURVEY.md §2.4 design).
+    mesh = None
+    pair_sharding = None
+    if jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit_colmap_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        replicated = NamedSharding(mesh, P())
+        pair_sharding = NamedSharding(mesh, P("data"))
+        desc_dev = jax.device_put(desc_dev, replicated)
+        valid_dev = jax.device_put(valid_dev, replicated)
+
     # ------------------------------------------------------------- pairs
     pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
     stats.num_pairs = len(pairs)
     P = config.pair_batch
+    if mesh is not None:
+        # Round the pair batch up to a multiple of the data-axis size.
+        ndev = mesh.shape["data"]
+        P = ((P + ndev - 1) // ndev) * ndev
     all_matches: dict[tuple[int, int], np.ndarray] = {}
 
     for start in range(0, len(pairs), P):
@@ -153,15 +172,23 @@ def match_exhaustive(
         pad = P - len(chunk)
         i1 = np.array([c[0] for c in chunk] + [0] * pad, np.int32)
         i2 = np.array([c[1] for c in chunk] + [0] * pad, np.int32)
+        i1_dev, i2_dev = jnp.asarray(i1), jnp.asarray(i2)
+        if pair_sharding is not None:
+            i1_dev = jax.device_put(i1_dev, pair_sharding)
+            i2_dev = jax.device_put(i2_dev, pair_sharding)
         out = _match_pair_batch(
             desc_dev,
             valid_dev,
-            jnp.asarray(i1),
-            jnp.asarray(i2),
+            i1_dev,
+            i2_dev,
             config.max_ratio,
             config.max_distance,
             config.cross_check,
-            resolve_use_pallas(config.use_pallas) and dim % 128 == 0,
+            # Pallas single-chip only: the XLA path partitions automatically
+            # over the mesh; pallas_call is opaque to the SPMD partitioner.
+            resolve_use_pallas(config.use_pallas)
+            and dim % 128 == 0
+            and mesh is None,
         )
         out = np.asarray(out)
         for b, (i, j) in enumerate(chunk):

@@ -95,16 +95,29 @@ class Pipeline:
 
         import jax
 
+        from vit_colmap_tpu.utils.profiling import GLOBAL_TIMER, trace
+
         logger.info("Devices: %s", jax.devices())
         logger.info("\n%s", self.config.summary())
+        with trace():  # jax.profiler trace when VIT_COLMAP_PROFILE_DIR is set
+            self._run_traced(
+                image_dir, output_dir, db_path, dataset, scene, results_dir,
+                GLOBAL_TIMER, trace,
+            )
+        logger.info("\n%s", GLOBAL_TIMER.summary())
 
+    def _run_traced(
+        self, image_dir, output_dir, db_path, dataset, scene, results_dir,
+        timer, trace,
+    ) -> None:
         # Stage 1: extraction -------------------------------------------------
         t0 = time.perf_counter()
-        extractor = self._make_extractor()
-        camera_params = self.config.camera.params
-        extractor.extract(
-            image_dir, db_path, self.config.camera.model, camera_params
-        )
+        with timer.stage("extract"):
+            extractor = self._make_extractor()
+            camera_params = self.config.camera.params
+            extractor.extract(
+                image_dir, db_path, self.config.camera.model, camera_params
+            )
         t_extract = time.perf_counter() - t0
 
         with ColmapDatabase.open_database(db_path) as db:
@@ -132,7 +145,8 @@ class Pipeline:
             ):
                 self.config.matching.descriptor_encoding = "signed"
             t1 = time.perf_counter()
-            match_exhaustive(db_path, self.config.matching)
+            with timer.stage("match+verify"):
+                match_exhaustive(db_path, self.config.matching)
             t_match = time.perf_counter() - t1
 
         # Stage 3: incremental reconstruction ----------------------------------
@@ -142,9 +156,10 @@ class Pipeline:
 
             t2 = time.perf_counter()
             sparse_dir = output_dir / "sparse"
-            self.reconstructions = incremental_mapping(
-                db_path, image_dir, sparse_dir, self.config.reconstruction
-            )
+            with timer.stage("reconstruction"):
+                self.reconstructions = incremental_mapping(
+                    db_path, image_dir, sparse_dir, self.config.reconstruction
+                )
             t_recon = time.perf_counter() - t2
 
         self._print_summary(db_path, t_extract, t_match, t_recon)
@@ -243,7 +258,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--dataset", type=str, default=None)
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--export-metrics", type=Path, default=None)
+    ap.add_argument("--profile-dir", type=Path, default=None,
+                    help="Write a jax.profiler trace to this directory")
     args = ap.parse_args(argv)
+    if args.profile_dir:
+        import os
+
+        os.environ["VIT_COLMAP_PROFILE_DIR"] = str(args.profile_dir)
 
     config = Config.from_args(args)
     logger.info("Configuration loaded")

@@ -1,0 +1,92 @@
+"""Tracing / profiling subsystem.
+
+The reference has no profiler integration — only batches/sec prints
+(SURVEY.md §5 "tracing/profiling": the TPU equivalent should be
+``jax.profiler`` traces + per-stage wall-clock counters as a first-class
+subsystem).  This module provides both:
+
+* :class:`StageTimer` — nested named wall-clock counters every pipeline
+  stage reports into (printed as a tree, exported as JSON),
+* :func:`trace` — context manager around ``jax.profiler`` emitting
+  TensorBoard-loadable traces when a trace dir is configured
+  (``--profile-dir`` on the pipeline CLI or ``VIT_COLMAP_PROFILE_DIR``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Iterator, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class StageTimer:
+    """Accumulates (count, total seconds) per named stage."""
+
+    def __init__(self) -> None:
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def record(self, name: str, seconds: float) -> None:
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
+    def summary(self) -> str:
+        lines = ["Stage timings:"]
+        for name in sorted(self.totals, key=lambda n: -self.totals[n]):
+            lines.append(
+                f"  {name:<32} {self.totals[name]:8.3f}s"
+                f"  ({self.counts[name]} calls)"
+            )
+        return "\n".join(lines)
+
+    def to_dict(self) -> dict:
+        return {
+            name: {"seconds": self.totals[name], "calls": self.counts[name]}
+            for name in self.totals
+        }
+
+    def export_json(self, path: Path | str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+# Global default timer the pipeline stages report into.
+GLOBAL_TIMER = StageTimer()
+
+
+def profile_dir() -> Optional[str]:
+    return os.environ.get("VIT_COLMAP_PROFILE_DIR") or None
+
+
+@contextlib.contextmanager
+def trace(trace_dir: Optional[str] = None) -> Iterator[None]:
+    """``jax.profiler`` trace when a directory is given; no-op otherwise."""
+    trace_dir = trace_dir or profile_dir()
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    Path(trace_dir).mkdir(parents=True, exist_ok=True)
+    logger.info("Writing jax.profiler trace to %s", trace_dir)
+    with jax.profiler.trace(trace_dir):
+        yield
