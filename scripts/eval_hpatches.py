@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""HPatches matching evaluation: MMA + homography accuracy per extractor.
+
+BASELINE.json config 3 surface: "DINOv2 ViT extractor on HPatches: dense
+descriptors + mutual-NN matching + homography eval".  Works with any
+extractor family; per-pair extraction/matching runs on device.
+
+Usage:
+  python scripts/eval_hpatches.py --data-dir /path/to/hpatches \
+    --extractor sift --split viewpoint --max-pairs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def extract_for_eval(extractor_name, images, backbone, weights, max_kp,
+                     contrast_thresh=0.02):
+    """images: list of (H, W, 3) uint8 RGB -> list of (kpts Nx2, desc NxD,
+    encoding)."""
+    import cv2
+
+    if extractor_name in ("sift", "colmap_sift"):
+        from vit_colmap_tpu.ops.sift import extract_sift
+
+        out = []
+        for img in images:
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255
+            kp, dc = extract_sift(
+                gray[None], max_keypoints=max_kp,
+                contrast_thresh=contrast_thresh,
+            )
+            out.append((kp[0][:, :2], dc[0], "unsigned"))
+        return out
+    if extractor_name == "vit":
+        from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+        from vit_colmap_tpu.models.dinov2 import patch_grid_size
+
+        ex = ViTExtractor(
+            weights_path=weights, backbone=backbone, max_keypoints=max_kp,
+            image_batch=1,
+        )
+        out = []
+        for img in images:
+            oh, ow = img.shape[:2]
+            th, tw = patch_grid_size(oh, ow)
+            batch = cv2.resize(img, (tw, th))[None]
+            xy, sc, valid, desc = ex.extract_batch(batch)
+            v = valid[0]
+            kp = ex._map_coords(xy[0][v], (tw, th), (ow, oh))
+            out.append((kp, desc[0][v], "signed"))
+        return out
+    if extractor_name == "trainable_vit":
+        from vit_colmap_tpu.features.trainable_vit_extractor import (
+            TrainableViTExtractor,
+        )
+        from vit_colmap_tpu.models.dinov2 import patch_grid_size
+
+        ex = TrainableViTExtractor(
+            weights_path=weights, backbone=backbone, num_keypoints=max_kp,
+            image_batch=1,
+        )
+        out = []
+        for img in images:
+            oh, ow = img.shape[:2]
+            th, tw = patch_grid_size(oh, ow)
+            batch = cv2.resize(img, (tw, th))[None]
+            x, y, orient, score, valid, desc = ex.extract_batch(batch)
+            v = valid[0]
+            kp = np.stack(
+                [x[0][v] * ow / tw, y[0][v] * oh / th], axis=1
+            ).astype(np.float32)
+            out.append((kp, desc[0][v], "signed"))
+        return out
+    raise ValueError(f"Unknown extractor {extractor_name!r}")
+
+
+def mutual_match(f1, f2):
+    import jax.numpy as jnp
+
+    from vit_colmap_tpu.ops.matching import (
+        compact_matches,
+        match_pair,
+        normalize_descriptors,
+    )
+
+    (k1, d1, enc), (k2, d2, _) = f1, f2
+    if len(k1) == 0 or len(k2) == 0:
+        return np.zeros((0, 2), np.int64)
+    n = max(len(d1), len(d2))
+
+    def prep(d, k_count):
+        x = d.astype(np.float32)
+        if enc == "signed":
+            x = x / 127.5 - 1.0
+        dp = np.zeros((n, x.shape[1]), np.float32)
+        dp[: len(x)] = x
+        v = np.zeros(n, bool)
+        v[:k_count] = True
+        return np.asarray(normalize_descriptors(jnp.asarray(dp))), v
+
+    d1p, v1 = prep(d1, len(d1))
+    d2p, v2 = prep(d2, len(d2))
+    idx = np.asarray(match_pair(d1p, d2p, v1, v2))
+    return compact_matches(idx, len(d1)).astype(np.int64)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", type=Path, required=True)
+    ap.add_argument("--extractor", default="sift",
+                    choices=["sift", "colmap_sift", "vit", "trainable_vit"])
+    ap.add_argument("--backbone", default="vitb14")
+    ap.add_argument("--weights", type=Path, default=None)
+    ap.add_argument("--split", default="all")
+    ap.add_argument("--pair-mode", default="reference_only")
+    ap.add_argument("--max-pairs", type=int, default=None)
+    ap.add_argument("--max-keypoints", type=int, default=2048)
+    ap.add_argument("--contrast-thresh", type=float, default=0.02)
+    ap.add_argument("--target-height", type=int, default=480)
+    ap.add_argument("--target-width", type=int, default=640)
+    ap.add_argument("--output", type=Path, default=None)
+    args = ap.parse_args()
+
+    from vit_colmap_tpu.dataloader.hpatches_dataset import HPatchesDataset
+    from vit_colmap_tpu.utils.homography_eval import evaluate_pairs
+
+    ds = HPatchesDataset(
+        args.data_dir, split=args.split, pair_mode=args.pair_mode,
+        target_height=args.target_height, target_width=args.target_width,
+    )
+    n = len(ds) if args.max_pairs is None else min(len(ds), args.max_pairs)
+    print(f"Evaluating {args.extractor} on {n} pairs...")
+
+    t0 = time.perf_counter()
+    pair_data = []
+    for i in range(n):
+        item = ds[i]
+        feats = extract_for_eval(
+            args.extractor,
+            [item["image1"], item["image2"]],
+            args.backbone,
+            str(args.weights) if args.weights else None,
+            args.max_keypoints,
+            contrast_thresh=args.contrast_thresh,
+        )
+        matches = mutual_match(feats[0], feats[1])
+        h, w = item["image1"].shape[:2]
+        pair_data.append(
+            {
+                "kpts1": feats[0][0],
+                "kpts2": feats[1][0],
+                "matches": matches,
+                "H": item["H"],
+                "image_wh": (w, h),
+            }
+        )
+    result = evaluate_pairs(pair_data)
+    dt = time.perf_counter() - t0
+    print(result.summary())
+    print(f"throughput: {n / dt:.2f} pairs/s (extract+match+eval)")
+
+    if args.output:
+        args.output.parent.mkdir(parents=True, exist_ok=True)
+        with open(args.output, "w") as f:
+            json.dump(
+                {
+                    "extractor": args.extractor,
+                    "pairs": len(result.pairs),
+                    "avg_matches": result.avg_matches,
+                    "mma": {str(k): v for k, v in result.mma.items()},
+                    "homography_accuracy": {
+                        str(k): v for k, v in result.homography_accuracy.items()
+                    },
+                    "pairs_per_sec": n / dt,
+                },
+                f,
+                indent=2,
+            )
+        print(f"Wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
