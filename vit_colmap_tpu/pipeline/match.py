@@ -167,6 +167,9 @@ def match_exhaustive(
         P = ((P + ndev - 1) // ndev) * ndev
     all_matches: dict[tuple[int, int], np.ndarray] = {}
 
+    # Dispatch all pair batches first (jax is async), then sync — device
+    # compute overlaps host-side match compaction.
+    pending = []
     for start in range(0, len(pairs), P):
         chunk = pairs[start : start + P]
         pad = P - len(chunk)
@@ -190,6 +193,8 @@ def match_exhaustive(
             and dim % 128 == 0
             and mesh is None,
         )
+        pending.append((chunk, out))
+    for chunk, out in pending:
         out = np.asarray(out)
         for b, (i, j) in enumerate(chunk):
             m = compact_matches(out[b], counts[i])

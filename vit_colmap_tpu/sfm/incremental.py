@@ -370,29 +370,56 @@ class IncrementalMapper:
         return float(msr)
 
     def filter_points(self) -> int:
-        """Drop points with high mean reprojection error or too-short tracks."""
+        """Drop points with high mean reprojection error, too-short tracks,
+        or any behind-camera observation.
+
+        Vectorized: all observations are evaluated in one flat batch (the
+        per-point Python loop was the mapper's host bottleneck at DTU scale).
+        """
         s = self.s
-        removed = 0
+        pids = list(s.points.keys())
+        if not pids:
+            return 0
         thr = self.cfg.filter_max_reproj_error_px
-        for pid in list(s.points.keys()):
-            track = s.tracks[pid]
-            if len(track) < 2:
-                s.remove_point(pid)
-                removed += 1
-                continue
-            errs = []
-            behind = False
-            for iid, f in track:
-                R, t = s.poses[iid]
-                e = _reproj_errors(
-                    R, t, s.K(iid), s.points[pid][None], s.keypoints[iid][f][None]
-                )[0]
-                if not np.isfinite(e):
-                    behind = True
-                errs.append(e)
-            if behind or np.mean(errs) > thr:
-                s.remove_point(pid)
-                removed += 1
+
+        img_ids = sorted(s.poses.keys())
+        img_index = {iid: k for k, iid in enumerate(img_ids)}
+        Rs = np.stack([s.poses[i][0] for i in img_ids])
+        ts = np.stack([s.poses[i][1] for i in img_ids])
+        Ks = np.stack([s.K(i) for i in img_ids])
+
+        obs_pid, obs_img, obs_xy = [], [], []
+        pt_index = {p: k for k, p in enumerate(pids)}
+        for pid in pids:
+            for iid, f in s.tracks[pid]:
+                obs_pid.append(pt_index[pid])
+                obs_img.append(img_index[iid])
+                obs_xy.append(s.keypoints[iid][f])
+        obs_pid = np.array(obs_pid)
+        obs_img = np.array(obs_img)
+        obs_xy = np.asarray(obs_xy, np.float64)
+        X = np.stack([s.points[p] for p in pids])[obs_pid]
+
+        R, t, Kk = Rs[obs_img], ts[obs_img], Ks[obs_img]
+        Xc = np.einsum("nij,nj->ni", R, X) + t
+        z = np.where(np.abs(Xc[:, 2:]) > 1e-9, Xc[:, 2:], 1e-9)
+        f = np.stack([Kk[:, 0, 0], Kk[:, 1, 1]], axis=1)
+        c = np.stack([Kk[:, 0, 2], Kk[:, 1, 2]], axis=1)
+        uv = (Xc[:, :2] / z) * f + c
+        err = np.linalg.norm(uv - obs_xy, axis=-1)
+        behind = Xc[:, 2] <= 1e-6
+
+        n_pts = len(pids)
+        err_sum = np.bincount(obs_pid, weights=err, minlength=n_pts)
+        cnt = np.bincount(obs_pid, minlength=n_pts)
+        bad_behind = np.bincount(obs_pid, weights=behind, minlength=n_pts) > 0
+        mean_err = err_sum / np.maximum(cnt, 1)
+        drop = (cnt < 2) | bad_behind | (mean_err > thr)
+
+        removed = 0
+        for k in np.nonzero(drop)[0]:
+            s.remove_point(pids[k])
+            removed += 1
         return removed
 
     # ------------------------------------------------------------- finalize
