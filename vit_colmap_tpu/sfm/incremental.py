@@ -59,7 +59,12 @@ def _qvec_from_R(R: np.ndarray) -> np.ndarray:
 
 
 class _MapperState:
-    """Mutable state of one model being built."""
+    """Mutable state of one model being built.
+
+    ``feat_pid`` keeps a per-image int64 array mapping keypoint index ->
+    point id (-1 = none) so correspondence counting and triangulation
+    candidacy are vectorized gathers, not dict lookups (the reference's
+    COLMAP does the equivalent with its C++ correspondence graph)."""
 
     def __init__(self, cameras, images, keypoints):
         self.cameras = cameras  # camera_id -> db dict
@@ -68,24 +73,36 @@ class _MapperState:
         self.poses: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # id -> (R, t)
         self.points: dict[int, np.ndarray] = {}  # point_id -> xyz
         self.tracks: dict[int, list[tuple[int, int]]] = {}
-        self.kp_to_point: dict[tuple[int, int], int] = {}
+        self.feat_pid: dict[int, np.ndarray] = {
+            iid: np.full(len(k), -1, np.int64) for iid, k in keypoints.items()
+        }
         self.next_point_id = 1
 
     def K(self, image_id: int) -> np.ndarray:
         return camera_matrix(self.cameras[self.images[image_id]["camera_id"]])
+
+    def get_pid(self, image_id: int, feat: int) -> int:
+        pid = int(self.feat_pid[image_id][feat])
+        return pid if pid >= 0 else None
 
     def add_point(self, xyz, obs: list[tuple[int, int]]) -> int:
         pid = self.next_point_id
         self.next_point_id += 1
         self.points[pid] = np.asarray(xyz, np.float64)
         self.tracks[pid] = list(obs)
-        for o in obs:
-            self.kp_to_point[o] = pid
+        for iid, f in obs:
+            self.feat_pid[iid][f] = pid
         return pid
 
+    def add_observation(self, pid: int, image_id: int, feat: int) -> None:
+        if self.feat_pid[image_id][feat] < 0:
+            self.feat_pid[image_id][feat] = pid
+            self.tracks[pid].append((image_id, feat))
+
     def remove_point(self, pid: int) -> None:
-        for o in self.tracks.pop(pid, []):
-            self.kp_to_point.pop(o, None)
+        for iid, f in self.tracks.pop(pid, []):
+            if self.feat_pid[iid][f] == pid:
+                self.feat_pid[iid][f] = -1
         self.points.pop(pid, None)
 
 
@@ -185,35 +202,41 @@ class IncrementalMapper:
         return True
 
     # --------------------------------------------------------- registration
-    def find_next_image(self):
-        """Unregistered image with most visible 3D points."""
+    def _pairs_with(self, iid):
+        """Yield (other_id, feats_self, feats_other) for registered partners."""
         s = self.s
-        best, best_corrs = None, None
+        for (a, b), m in self.pair_matches.items():
+            if a == iid and b in s.poses:
+                yield b, m[:, 0], m[:, 1]
+            elif b == iid and a in s.poses:
+                yield a, m[:, 1], m[:, 0]
+
+    def find_next_image(self):
+        """Unregistered image with most visible 3D points (vectorized count)."""
+        s = self.s
+        best, best_count = None, 0
         for iid in s.images:
             if iid in s.poses:
                 continue
-            corrs = self._collect_2d3d(iid)
-            if best_corrs is None or len(corrs) > len(best_corrs):
-                best, best_corrs = iid, corrs
-        if best is None or len(best_corrs) < 6:
+            count = 0
+            for other, fs, fo in self._pairs_with(iid):
+                count += int((s.feat_pid[other][fo] >= 0).sum())
+            if count > best_count:
+                best, best_count = iid, count
+        if best is None or best_count < 6:
             return None, None
-        return best, best_corrs
+        return best, self._collect_2d3d(best)
 
     def _collect_2d3d(self, iid):
         """[(feat_idx, point_id)] correspondences of an unregistered image."""
         s = self.s
         out = {}
-        for (a, b), m in self.pair_matches.items():
-            if a == iid and b in s.poses:
-                fi, fj, other = m[:, 0], m[:, 1], b
-            elif b == iid and a in s.poses:
-                fi, fj, other = m[:, 1], m[:, 0], a
-            else:
-                continue
-            for f_self, f_other in zip(fi, fj):
-                pid = s.kp_to_point.get((other, int(f_other)))
-                if pid is not None and int(f_self) not in out:
-                    out[int(f_self)] = pid
+        for other, fs, fo in self._pairs_with(iid):
+            pids = s.feat_pid[other][fo]
+            sel = pids >= 0
+            for f_self, pid in zip(fs[sel], pids[sel]):
+                if int(f_self) not in out:
+                    out[int(f_self)] = int(pid)
         return list(out.items())
 
     def register_image(self, iid, corrs) -> bool:
@@ -244,9 +267,8 @@ class IncrementalMapper:
         s.poses[iid] = (R, t)
         inl = np.asarray(res.inlier_mask)[:n]
         for (f, pid), ok in zip(corrs, inl):
-            if ok and (iid, f) not in s.kp_to_point:
-                s.kp_to_point[(iid, f)] = pid
-                s.tracks[pid].append((iid, f))
+            if ok and pid in s.points:
+                s.add_observation(pid, iid, f)
         logger.info("Registered image %d with %d/%d inliers", iid, n_inl, n)
         return True
 
@@ -259,24 +281,14 @@ class IncrementalMapper:
         P2 = K2 @ np.concatenate([R2, t2[:, None]], axis=1)
         C2 = -R2.T @ t2
         created = 0
-        for (a, b), m in self.pair_matches.items():
-            if a == iid and b in s.poses:
-                other, f_self, f_other = b, m[:, 0], m[:, 1]
-            elif b == iid and a in s.poses:
-                other, f_self, f_other = a, m[:, 1], m[:, 0]
-            else:
-                continue
+        for other, f_self, f_other in self._pairs_with(iid):
             R1, t1 = s.poses[other]
             K1 = s.K(other)
             P1 = K1 @ np.concatenate([R1, t1[:, None]], axis=1)
             C1 = -R1.T @ t1
 
-            new_mask = np.array(
-                [
-                    (iid, int(fs)) not in s.kp_to_point
-                    and (other, int(fo)) not in s.kp_to_point
-                    for fs, fo in zip(f_self, f_other)
-                ]
+            new_mask = (s.feat_pid[iid][f_self] < 0) & (
+                s.feat_pid[other][f_other] < 0
             )
             if not new_mask.any():
                 continue
@@ -434,13 +446,9 @@ class IncrementalMapper:
                 height=cam["height"],
                 params=np.asarray(cam["params"], np.float64),
             )
-        point_errors: dict[int, list[float]] = {p: [] for p in s.points}
         for iid in s.poses:
             kps = s.keypoints[iid]
-            pids = np.full(len(kps), -1, np.int64)
-            for (im, f), pid in s.kp_to_point.items():
-                if im == iid and pid in s.points:
-                    pids[f] = pid
+            pids = s.feat_pid[iid].copy()
             R, t = s.poses[iid]
             rec.images[iid] = Image(
                 image_id=iid,
