@@ -151,6 +151,16 @@ def main() -> None:
         max_kp = 4096
         pair_batch = 8
 
+    # Persistent compilation cache: repeat runs skip the (slow, remote)
+    # TPU compiles.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     try:
         extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch)
         import jax

@@ -111,7 +111,7 @@ def find_extrema(
     return jnp.stack([xs, ys], axis=-1), s_idx, top, valid
 
 
-@partial(jax.jit, static_argnames=("num_bins",))
+@partial(jax.jit, static_argnames=("num_bins", "radius"))
 def dominant_orientation(
     gauss: jax.Array,  # (B, H, W) the keypoint's gaussian level (approx)
     xy: jax.Array,  # (B, K, 2)

@@ -30,6 +30,25 @@ def compute_image_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
+def compute_keypoint_orientations_histogram(
+    gray: jax.Array,  # (B, H, W)
+    kpts: jax.Array,  # (B, K, 2) pixel coords
+    num_bins: int = 36,
+    radius: int = 8,
+) -> jax.Array:
+    """SIFT-style 36-bin Gaussian-weighted orientation histogram.
+
+    The reference keeps an O(B*K) Python-loop version of this for reference
+    (``utils/orientation.py:70-209``); here it is the same vectorized
+    one-hot-einsum histogram the SIFT descriptor pipeline uses
+    (:func:`vit_colmap_tpu.ops.sift.dominant_orientation`).
+    Returns (B, K) angles.
+    """
+    from vit_colmap_tpu.ops.sift import dominant_orientation
+
+    return dominant_orientation(gray, kpts, num_bins=num_bins, radius=radius)
+
+
 def compute_keypoint_orientations_simple(
     gray: jax.Array,  # (B, H, W)
     kpts: jax.Array,  # (B, K, 2) pixel coords (x, y)
