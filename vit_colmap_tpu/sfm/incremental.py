@@ -281,11 +281,33 @@ class IncrementalMapper:
         P2 = K2 @ np.concatenate([R2, t2[:, None]], axis=1)
         C2 = -R2.T @ t2
         created = 0
+        thr_ext = self.cfg.filter_max_reproj_error_px
         for other, f_self, f_other in self._pairs_with(iid):
             R1, t1 = s.poses[other]
             K1 = s.K(other)
             P1 = K1 @ np.concatenate([R1, t1[:, None]], axis=1)
             C1 = -R1.T @ t1
+
+            # Track extension: partner feature already has a 3D point and our
+            # feature is free -> join the track when the point reprojects
+            # consistently into the new image (COLMAP's track continuation).
+            ext_mask = (s.feat_pid[other][f_other] >= 0) & (
+                s.feat_pid[iid][f_self] < 0
+            )
+            if ext_mask.any():
+                fs_e = f_self[ext_mask]
+                pids_e = s.feat_pid[other][f_other[ext_mask]]
+                keep = np.array([p in s.points for p in pids_e])
+                if keep.any():
+                    fs_e, pids_e = fs_e[keep], pids_e[keep]
+                    Xe = np.stack([s.points[int(p)] for p in pids_e])
+                    uv_e = s.keypoints[iid][fs_e].astype(np.float64)
+                    errs = _reproj_errors(R2, t2, K2, Xe, uv_e)
+                    for fs_k, pid_k, ok in zip(
+                        fs_e, pids_e, errs < thr_ext
+                    ):
+                        if ok:
+                            s.add_observation(int(pid_k), iid, int(fs_k))
 
             new_mask = (s.feat_pid[iid][f_self] < 0) & (
                 s.feat_pid[other][f_other] < 0
