@@ -266,6 +266,15 @@ def main(argv: Optional[list[str]] = None) -> None:
 
         os.environ["VIT_COLMAP_PROFILE_DIR"] = str(args.profile_dir)
 
+    # Persistent compilation cache: repeat runs skip TPU compiles.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     config = Config.from_args(args)
     logger.info("Configuration loaded")
     logger.debug("\n%s", config.summary())

@@ -137,6 +137,12 @@ def main(argv: Optional[list[str]] = None) -> None:
     )
 
     import jax
+
+    try:  # persistent compilation cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
     from jax.sharding import NamedSharding, PartitionSpec as P
