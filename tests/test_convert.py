@@ -1,0 +1,121 @@
+"""Torch->flax weight conversion fidelity.
+
+SURVEY.md §7 lists DINOv2 weight-porting fidelity as a hard part.  This test
+builds a minimal torch module with the exact public DINOv2 state-dict layout
+(patch_embed.proj / cls_token / pos_embed / blocks.N.{norm1,attn.qkv,
+attn.proj,ls1,norm2,mlp.fc1,mlp.fc2,ls2} / norm), runs both it and the flax
+backbone with converted weights on the same input, and requires numerical
+agreement.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from vit_colmap_tpu.models.convert import torch_dinov2_to_flax
+from vit_colmap_tpu.models.dinov2 import DinoV2, ViTConfig
+
+import torch.nn as nn  # noqa: E402
+
+
+class TorchBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Module()
+        self.ls1.gamma = nn.Parameter(torch.randn(dim) * 0.1)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.ls2 = nn.Module()
+        self.ls2.gamma = nn.Parameter(torch.randn(dim) * 0.1)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, D = x.shape
+        h = self.heads
+        d = D // h
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(B, N, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(1, 2) * d**-0.5
+        k = k.transpose(1, 2)
+        v = v.transpose(1, 2)
+        a = torch.softmax(q @ k.transpose(-1, -2), dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(B, N, D)
+        x = x + self.ls1.gamma * self.attn.proj(y)
+        y = self.norm2(x)
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+        return x + self.ls2.gamma * y
+
+
+class TorchDino(nn.Module):
+    """Minimal DINOv2-layout ViT (public architecture, random weights)."""
+
+    def __init__(self, dim=32, depth=2, heads=2, patch=14, grid=4):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.1)
+        self.pos_embed = nn.Parameter(torch.randn(1, 1 + grid * grid, dim) * 0.1)
+        self.blocks = nn.ModuleList(TorchBlock(dim, heads) for _ in range(depth))
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.patch = patch
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        B = x.shape[0]
+        t = self.patch_embed.proj(x)  # (B, D, gh, gw)
+        t = t.flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(B, -1, -1), t], dim=1)
+        t = t + self.pos_embed
+        for blk in self.blocks:
+            t = blk(t)
+        t = self.norm(t)
+        return t
+
+
+def test_converted_weights_match_torch_forward():
+    torch.manual_seed(0)
+    grid = 4
+    tm = TorchDino(dim=32, depth=2, heads=2, grid=grid).eval()
+
+    cfg = ViTConfig(
+        embed_dim=32, depth=2, num_heads=2, pretrain_grid=grid,
+        dtype=np.float32,
+    )
+    params = torch_dinov2_to_flax(tm.state_dict(), cfg)
+    fm = DinoV2(cfg)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((1, grid * 14, grid * 14, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+
+    out = fm.apply(params, img)
+    got = np.concatenate(
+        [np.asarray(out["x_norm_clstoken"])[:, None],
+         np.asarray(out["x_norm_patchtokens"])],
+        axis=1,
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_conversion_handles_wrapped_dicts(tmp_path):
+    torch.manual_seed(1)
+    tm = TorchDino(dim=32, depth=2, heads=2).eval()
+    path = tmp_path / "w.pth"
+    torch.save({"model": tm.state_dict()}, path)
+
+    from vit_colmap_tpu.models.convert import load_torch_checkpoint
+
+    cfg = ViTConfig(embed_dim=32, depth=2, num_heads=2, pretrain_grid=4,
+                    dtype=np.float32)
+    params = load_torch_checkpoint(str(path), cfg)
+    assert "patch_embed" in params["params"]
+    assert params["params"]["blocks_0"]["attn"]["qkv"]["kernel"].shape == (32, 96)
