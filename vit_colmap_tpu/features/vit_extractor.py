@@ -213,7 +213,11 @@ class ViTExtractor(BaseExtractor):
                 camera_ids[(oh, ow)] = db.add_camera(camera_model, ow, oh, params)
             cam_id = camera_ids[(oh, ow)]
 
+            # Dispatch every batch asynchronously first (device compute and
+            # host->device transfers overlap the DB writes of earlier
+            # batches), then sink results.
             B = self.image_batch
+            pending = []
             for start in range(0, len(gfiles), B):
                 chunk = gfiles[start : start + B]
                 batch = np.zeros((B, th, tw, 3), np.uint8)
@@ -223,10 +227,11 @@ class ViTExtractor(BaseExtractor):
                         rgb = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
                     batch[b] = rgb
                 try:
-                    xy, sc, valid, desc = self.extract_batch(batch)
+                    pending.append((chunk, self.extract_batch_async(batch)))
                 except Exception:
                     logger.exception("Extraction failed for batch at %s", chunk[0])
-                    continue
+            for chunk, (xy, sc, valid, desc) in pending:
+                xy, valid, desc = (np.asarray(v) for v in (xy, valid, desc))
                 for b, f in enumerate(chunk):
                     v = valid[b]
                     kpts = self._map_coords(xy[b][v], (tw, th), (ow, oh))
