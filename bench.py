@@ -163,7 +163,7 @@ def main() -> None:
         h, w = 1190, 1596
         backbone = args.backbone or "vitb14"
         max_kp = 4096
-        pair_batch = 8
+        pair_batch = 16  # halves dispatch overhead vs 8 (84 vs 141 ms/28 pairs)
 
     # Persistent compilation cache: repeat runs skip the (slow, remote)
     # TPU compiles.
