@@ -67,6 +67,8 @@ def run_bench(
     # which may be below max_keypoints on small grids).
     _, _, warm_valid, warm_desc = ex.extract_batch(imgs[: ex.image_batch])
     k_actual = warm_desc.shape[1]
+    # Second warmup: the fused (post-PCA) program compiles on this call.
+    _ = ex.extract_batch(imgs[: ex.image_batch])
 
     descs = np.zeros((num_images, k_actual, 128), np.uint8)
     valids = np.zeros((num_images, k_actual), bool)

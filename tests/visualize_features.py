@@ -67,7 +67,7 @@ def main() -> None:
     # PCA-RGB of dense features
     import jax.numpy as jnp
 
-    dense_features, _ = ex._forward
+    dense_features = ex._forward[0]
     fmap = np.asarray(dense_features(ex.params, jnp.asarray(batch)))[0]
     x = fmap.reshape(-1, fmap.shape[-1]).astype(np.float64)
     x -= x.mean(0)

@@ -111,8 +111,7 @@ class ViTExtractor(BaseExtractor):
             )
             return fmap
 
-        @jax.jit
-        def detect_and_describe(fmap, pca_comps, pca_mean):
+        def _detect(fmap, pca_comps, pca_mean):
             scores = compute_saliency(fmap.astype(jnp.float32), saliency)
             xy, sc, valid = detect_keypoints(
                 scores,
@@ -130,16 +129,30 @@ class ViTExtractor(BaseExtractor):
             desc_u8 = quantize_descriptors_signed(desc)
             return xy, sc, valid, desc_u8
 
-        return dense_features, detect_and_describe
+        detect_and_describe = jax.jit(_detect)
+
+        @jax.jit
+        def fused(params, images_u8, pca_comps, pca_mean):
+            # One dispatch per batch once PCA is fitted — dispatch latency
+            # over this environment's host<->device relay is material.
+            x = preprocess(images_u8)
+            out = model.apply(params, x)
+            gh, gw = out["grid"]
+            fmap = out["x_norm_patchtokens"].reshape(
+                images_u8.shape[0], gh, gw, -1
+            )
+            return _detect(fmap, pca_comps, pca_mean)
+
+        return dense_features, detect_and_describe, fused
 
     def extract_batch_async(self, images_u8: np.ndarray):
         """Dispatch one batch; returns device arrays (not synced) so callers
         can pipeline host->device transfers against compute."""
         if self._forward is None:
             self._forward = self._build_forward()
-        dense_features, detect_and_describe = self._forward
-        fmap = dense_features(self.params, jnp.asarray(images_u8))
+        dense_features, detect_and_describe, fused = self._forward
         if self._pca is None:
+            fmap = dense_features(self.params, jnp.asarray(images_u8))
             flat = fmap.astype(jnp.float32).reshape(-1, fmap.shape[-1])
             self._pca = fit_pca(flat, self.descriptor_dim)
             logger.info(
@@ -148,7 +161,8 @@ class ViTExtractor(BaseExtractor):
                 self.descriptor_dim,
                 flat.shape[0],
             )
-        return detect_and_describe(fmap, *self._pca)
+            return detect_and_describe(fmap, *self._pca)
+        return fused(self.params, jnp.asarray(images_u8), *self._pca)
 
     def extract_batch(self, images_u8: np.ndarray):
         """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->

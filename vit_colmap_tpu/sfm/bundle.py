@@ -74,7 +74,9 @@ def matrix_to_axis_angle(R: jax.Array) -> jax.Array:
 class BAProblem(NamedTuple):
     """Fixed-shape bundle-adjustment problem.
 
-    cam_params: (n_img, 6) axis-angle + t.  points: (n_pts, 3).
+    cam_params: (n_img, 7) axis-angle + t + log focal scale (COLMAP-style
+    focal refinement: effective f = K_f * exp(s); s is frozen unless
+    ``refine_focal_mask`` allows it).  points: (n_pts, 3).
     obs_*: (n_obs,) observation table; obs_valid masks padding.
     K: (n_img, 3, 3); fixed_cam_mask: (n_img,) — poses held constant
     (gauge fixing: the mapper pins the first registered image).
@@ -88,20 +90,25 @@ class BAProblem(NamedTuple):
     obs_valid: jax.Array  # bool (n_obs,)
     K: jax.Array
     fixed_cam_mask: jax.Array
+    refine_focal_mask: jax.Array  # (n_img,) bool — focal scale free
+
+
+CAM_DOF = 7
 
 
 def _residuals(cam_params, points, problem: BAProblem, huber_delta: float):
     """(n_obs, 2) Huber-scaled reprojection residuals."""
-    cams = cam_params[problem.obs_cam]  # (n_obs, 6)
+    cams = cam_params[problem.obs_cam]  # (n_obs, 7)
     X = points[problem.obs_point]  # (n_obs, 3)
     R = axis_angle_to_matrix(cams[:, :3])
-    t = cams[:, 3:]
+    t = cams[:, 3:6]
+    fscale = jnp.exp(cams[:, 6])
     Xc = jnp.einsum("nij,nj->ni", R, X) + t
     z = jnp.where(jnp.abs(Xc[:, 2:]) > 1e-8, Xc[:, 2:], 1e-8)
     xn = Xc[:, :2] / z
     Kobs = problem.K[problem.obs_cam]
-    u = xn[:, 0] * Kobs[:, 0, 0] + Kobs[:, 0, 2]
-    v = xn[:, 1] * Kobs[:, 1, 1] + Kobs[:, 1, 2]
+    u = xn[:, 0] * Kobs[:, 0, 0] * fscale + Kobs[:, 0, 2]
+    v = xn[:, 1] * Kobs[:, 1, 1] * fscale + Kobs[:, 1, 2]
     r = jnp.stack([u, v], axis=-1) - problem.obs_xy
     # Huber reweighting (IRLS): residual *= sqrt(w), w = delta/|r| beyond
     # delta.  The weight is treated as a constant per linearization
@@ -123,14 +130,15 @@ def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
     n_img = cam_params.shape[0]
     n_pts = points.shape[0]
 
-    def one_obs(cam6, pt3, xy, Kmat, valid):
+    def one_obs(cam7, pt3, xy, Kmat, valid):
         def r(cp):
-            c, p = cp[:6], cp[6:]
+            c, p = cp[:CAM_DOF], cp[CAM_DOF:]
             R = axis_angle_to_matrix(c[:3])
-            Xc = R @ p + c[3:]
+            Xc = R @ p + c[3:6]
+            fs = jnp.exp(c[6])
             z = jnp.where(jnp.abs(Xc[2]) > 1e-8, Xc[2], 1e-8)
-            u = Xc[0] / z * Kmat[0, 0] + Kmat[0, 2]
-            v = Xc[1] / z * Kmat[1, 1] + Kmat[1, 2]
+            u = Xc[0] / z * Kmat[0, 0] * fs + Kmat[0, 2]
+            v = Xc[1] / z * Kmat[1, 1] * fs + Kmat[1, 2]
             res = jnp.stack([u, v]) - xy
             nrm = jnp.linalg.norm(res)
             w = jnp.where(
@@ -140,8 +148,8 @@ def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
             )
             return res * w * valid
 
-        J = jax.jacfwd(r)(jnp.concatenate([cam6, pt3]))  # (2, 9)
-        return jnp.sum(J * J, axis=0)  # (9,)
+        J = jax.jacfwd(r)(jnp.concatenate([cam7, pt3]))  # (2, 10)
+        return jnp.sum(J * J, axis=0)  # (10,)
 
     sq = jax.vmap(one_obs)(
         cam_params[problem.obs_cam],
@@ -149,9 +157,9 @@ def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
         problem.obs_xy,
         problem.K[problem.obs_cam],
         problem.obs_valid.astype(jnp.float32),
-    )  # (n_obs, 9)
-    cam_diag = jax.ops.segment_sum(sq[:, :6], problem.obs_cam, n_img)
-    pt_diag = jax.ops.segment_sum(sq[:, 6:], problem.obs_point, n_pts)
+    )  # (n_obs, 10)
+    cam_diag = jax.ops.segment_sum(sq[:, :CAM_DOF], problem.obs_cam, n_img)
+    pt_diag = jax.ops.segment_sum(sq[:, CAM_DOF:], problem.obs_point, n_pts)
     return jnp.concatenate([cam_diag.ravel(), pt_diag.ravel()])
 
 
@@ -170,16 +178,19 @@ def bundle_adjust(
         return jnp.concatenate([cam.ravel(), pts.ravel()])
 
     def unpack(x):
-        cam = x[: n_img * 6].reshape(n_img, 6)
-        pts = x[n_img * 6 :].reshape(n_pts, 3)
+        cam = x[: n_img * CAM_DOF].reshape(n_img, CAM_DOF)
+        pts = x[n_img * CAM_DOF :].reshape(n_pts, 3)
         return cam, pts
 
-    free_mask = pack(
-        jnp.broadcast_to(
-            ~problem.fixed_cam_mask[:, None], (n_img, 6)
-        ).astype(jnp.float32),
-        jnp.ones((n_pts, 3)),
+    cam_free = jnp.broadcast_to(
+        ~problem.fixed_cam_mask[:, None], (n_img, CAM_DOF)
+    ).astype(jnp.float32)
+    # Focal freedom is independent of pose fixing (COLMAP refines shared
+    # intrinsics even for the gauge-fixed camera).
+    cam_free = cam_free.at[:, 6].set(
+        problem.refine_focal_mask.astype(jnp.float32)
     )
+    free_mask = pack(cam_free, jnp.ones((n_pts, 3)))
 
     def res_fn(x):
         cam, pts = unpack(x)

@@ -361,12 +361,12 @@ class IncrementalMapper:
                 )
         n_obs_pad = _next_pow2(len(obs), 256)
 
-        cam = np.zeros((n_img, 6), np.float32)
+        cam = np.zeros((n_img, 7), np.float32)  # aa + t + log focal scale
         Ks = np.zeros((n_img, 3, 3), np.float32)
         for iid, k in img_index.items():
             R, t = s.poses[iid]
             cam[k, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
-            cam[k, 3:] = t
+            cam[k, 3:6] = t
             Ks[k] = s.K(iid)
         pts = np.zeros((n_pts_pad, 3), np.float32)
         pts[: len(pt_ids)] = np.stack([s.points[p] for p in pt_ids])
@@ -383,6 +383,7 @@ class IncrementalMapper:
         fixed = np.zeros(n_img, bool)
         fixed[0] = True
 
+        refine_focal = np.full(n_img, bool(self.cfg.ba_refine_focal))
         problem = BAProblem(
             cam_params=jnp.asarray(cam),
             points=jnp.asarray(pts),
@@ -392,15 +393,34 @@ class IncrementalMapper:
             obs_valid=jnp.asarray(obs_valid),
             K=jnp.asarray(Ks),
             fixed_cam_mask=jnp.asarray(fixed),
+            refine_focal_mask=jnp.asarray(refine_focal),
         )
         cam_out, pts_out, msr = bundle_adjust(problem, iters=iters)
         cam_out = np.asarray(cam_out, np.float64)
         pts_out = np.asarray(pts_out, np.float64)
         for iid, k in img_index.items():
             R = np.asarray(axis_angle_to_matrix(jnp.asarray(cam_out[k, :3])))
-            s.poses[iid] = (R, cam_out[k, 3:])
+            s.poses[iid] = (R, cam_out[k, 3:6])
         for pid, k in pt_index.items():
             s.points[pid] = pts_out[k]
+        # Focal write-back: per-image log scales averaged per shared camera
+        # (COLMAP refines per-camera intrinsics; our images share cameras).
+        if self.cfg.ba_refine_focal:
+            by_cam: dict[int, list[float]] = {}
+            for iid, k in img_index.items():
+                by_cam.setdefault(
+                    s.images[iid]["camera_id"], []
+                ).append(float(cam_out[k, 6]))
+            for cam_id, scales in by_cam.items():
+                scale = float(np.exp(np.mean(scales)))
+                if abs(scale - 1.0) > 1e-6:
+                    params = np.asarray(
+                        s.cameras[cam_id]["params"], np.float64
+                    ).copy()
+                    model = s.cameras[cam_id]["model"]
+                    n_f = 2 if model == "PINHOLE" else 1
+                    params[:n_f] *= scale
+                    s.cameras[cam_id]["params"] = params
         return float(msr)
 
     def filter_points(self) -> int:
