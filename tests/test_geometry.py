@@ -153,3 +153,29 @@ def test_ransac_degenerate_few_points():
         pts1, pts2, mask, K, K, np.bool_(False), jax.random.key(2), iters=128
     )
     assert int(res.config) == TWO_VIEW_CONFIG["DEGENERATE"]
+
+
+def test_undistort_points_roundtrip():
+    """Distort synthetically, undistort, recover original points."""
+    rng = np.random.default_rng(11)
+    f, cx, cy, k1 = 400.0, 320.0, 240.0, -0.15
+    cam = {"model": "SIMPLE_RADIAL", "params": np.array([f, cx, cy, k1]),
+           "width": 640, "height": 480}
+    xu = rng.uniform(-0.6, 0.6, (50, 2))
+    r2 = (xu**2).sum(-1, keepdims=True)
+    xd = xu * (1 + k1 * r2)
+    pts_d = (xd * f + [cx, cy]).astype(np.float32)
+    out = geom.undistort_points(pts_d, cam)
+    expected = (xu * f + [cx, cy]).astype(np.float32)
+    np.testing.assert_allclose(out, expected, atol=0.05)
+
+
+def test_undistort_points_noop_for_pinhole():
+    cam = {"model": "PINHOLE", "params": np.array([400.0, 400.0, 320.0, 240.0]),
+           "width": 640, "height": 480}
+    pts = np.random.default_rng(0).uniform(0, 640, (10, 2)).astype(np.float32)
+    np.testing.assert_array_equal(geom.undistort_points(pts, cam), pts)
+    cam2 = {"model": "SIMPLE_RADIAL",
+            "params": np.array([400.0, 320.0, 240.0, 0.0]),
+            "width": 640, "height": 480}
+    np.testing.assert_array_equal(geom.undistort_points(pts, cam2), pts)

@@ -122,7 +122,12 @@ def match_exhaustive(
         if k is None or d is None or len(k) == 0:
             k = np.zeros((0, 2), np.float32)
             d = np.zeros((0, 128), np.uint8)
-        kpts_list.append(k[:, :2].astype(np.float32))
+        from vit_colmap_tpu.sfm.geometry import undistort_points
+
+        cam = cameras[images[iid]["camera_id"]]
+        kpts_list.append(
+            undistort_points(k[:, :2].astype(np.float32), cam)
+        )
         desc_list.append(d)
         counts.append(len(k))
     n_max = _next_pow2(max(counts))

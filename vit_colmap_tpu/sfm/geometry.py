@@ -237,6 +237,44 @@ def rotmat_to_qvec(R: jax.Array) -> jax.Array:
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
+def undistort_points(pts_px, camera: dict):
+    """Undistort pixel keypoints for SIMPLE_RADIAL / RADIAL cameras.
+
+    COLMAP's verification/mapper work on undistorted observations; the
+    reference gets this inside the C++ engine.  Fixed-point inversion of
+    x_d = x_u (1 + k1 r^2 + k2 r^4) (5 iterations is exact to float32 for
+    |k| <= 0.5).  Models without distortion return the input unchanged.
+
+    Host-side numpy: runs once per image at load time.
+    """
+    import numpy as np
+
+    p = np.asarray(camera["params"], np.float64)
+    model = camera["model"]
+    if model == "SIMPLE_RADIAL":
+        f, cx, cy = p[0], p[1], p[2]
+        k1, k2 = (p[3] if len(p) > 3 else 0.0), 0.0
+        fx = fy = f
+    elif model == "RADIAL":
+        f, cx, cy = p[0], p[1], p[2]
+        k1 = p[3] if len(p) > 3 else 0.0
+        k2 = p[4] if len(p) > 4 else 0.0
+        fx = fy = f
+    else:
+        return pts_px
+    if k1 == 0.0 and k2 == 0.0:
+        return pts_px
+
+    pts = np.asarray(pts_px, np.float64)
+    xd = (pts - [cx, cy]) / [fx, fy]
+    xu = xd.copy()
+    for _ in range(5):
+        r2 = (xu**2).sum(-1, keepdims=True)
+        xu = xd / (1.0 + k1 * r2 + k2 * r2**2)
+    out = xu * [fx, fy] + [cx, cy]
+    return out.astype(np.asarray(pts_px).dtype)
+
+
 def qvec_to_rotmat(q: jax.Array) -> jax.Array:
     """Quaternion (w, x, y, z) -> rotation matrix, batched."""
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)

@@ -536,8 +536,11 @@ def incremental_mapping(
     keypoints = {}
     for iid in images:
         k = db.read_keypoints(iid)
-        keypoints[iid] = (
-            k[:, :2] if k is not None and len(k) else np.zeros((0, 2), np.float32)
+        k = k[:, :2] if k is not None and len(k) else np.zeros((0, 2), np.float32)
+        # Mapper geometry uses an undistorted pinhole model; radial models'
+        # observations are undistorted once here (geom.undistort_points).
+        keypoints[iid] = geom.undistort_points(
+            k, cameras[images[iid]["camera_id"]]
         )
     geometries = db.read_all_two_view_geometries()
     db.close()
