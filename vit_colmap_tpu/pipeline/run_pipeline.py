@@ -58,6 +58,7 @@ class Pipeline:
                 num_keypoints=20480,
                 nms_radius=1,
                 detection_threshold=0.4,
+                image_batch=self.config.extractor.image_batch,
             )
         if etype == "vit":
             from vit_colmap_tpu.features.vit_extractor import ViTExtractor
@@ -66,6 +67,7 @@ class Pipeline:
                 weights_path=self.config.extractor.vit_weights_path,
                 backbone=self.config.extractor.backbone,
                 max_keypoints=self.config.extractor.max_keypoints,
+                image_batch=self.config.extractor.image_batch,
             )
         if etype == "hybrid":
             from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
@@ -74,6 +76,7 @@ class Pipeline:
                 weights_path=self.config.extractor.vit_weights_path,
                 backbone=self.config.extractor.backbone,
                 max_keypoints=self.config.extractor.max_keypoints,
+                image_batch=self.config.extractor.image_batch,
             )
         raise ValueError(f"Unknown extractor type: {etype}")
 

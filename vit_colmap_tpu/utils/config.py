@@ -112,7 +112,7 @@ class ExtractorConfig:
     vit_weights_path: Optional[str] = None
     backbone: str = "vitb14"
     max_keypoints: int = 4096
-    image_batch: int = 4  # images per device program
+    image_batch: int = 2  # images per device program (2 + deep pipelining wins)
     dtype: str = "bfloat16"
 
 
