@@ -191,3 +191,48 @@ def test_full_train_step_multichip():
 
     m2 = eval_step(state2, bparams, batch, jax.random.key(2))
     assert np.isfinite(float(m2["total_loss"]))
+
+
+@pytest.mark.slow
+def test_training_overfits_single_batch():
+    """Gradient quality check: loss must drop markedly when overfitting one
+    fixed batch (catches silently-broken gradients/losses)."""
+    from vit_colmap_tpu.models.dinov2 import ViTConfig, DinoV2
+    from vit_colmap_tpu.models.feature_model import FeatureHeads, FeatureModelConfig
+    from vit_colmap_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    bcfg = ViTConfig(
+        embed_dim=32, depth=2, num_heads=2, pretrain_grid=8, dtype=jnp.float32
+    )
+    backbone = DinoV2(bcfg)
+    hcfg = FeatureModelConfig(descriptor_dim=16, hidden=32, trunk_dim=32,
+                              dtype=jnp.float32)
+    heads = FeatureHeads(hcfg)
+    B, H, W = 2, 56, 56
+    key = jax.random.key(0)
+    bparams = backbone.init(key, jnp.zeros((1, H, W, 3)))
+    hparams = heads.init(key, jnp.zeros((1, H // 14, W // 14, bcfg.embed_dim)))
+    opt = make_optimizer(learning_rate=3e-3, total_steps=40, warmup_steps=2)
+    state = init_train_state(hparams, opt)
+    step, _ = make_train_step(
+        backbone.apply, heads.apply, opt, batch_kwargs={"top_k": 16}
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image1": rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8),
+        "image2": rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8),
+        "H": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+    }
+    losses = []
+    fixed_key = jax.random.key(7)  # fixed randomness: pure overfit signal
+    for i in range(30):
+        state, metrics = step(state, bparams, batch, fixed_key)
+        losses.append(float(metrics["total_loss"]))
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert last < first * 0.8, (first, last)
