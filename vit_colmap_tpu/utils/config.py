@@ -4,9 +4,11 @@ Mirrors the reference's dataclass-tree config (``vit_colmap/utils/config.py:
 10-198``: LogConfig/CameraConfig/MatchingConfig/ReconstructionConfig/
 ExtractorConfig + ``Config.from_args``/``summary``) but converts into this
 framework's own option structs rather than pycolmap's, and adds TPU-specific
-knobs (device mesh shape, batching, dtype).  Unlike the reference, training
-shares the same config tree (``TrainingConfig``) instead of a parallel
-argparse namespace (SURVEY.md section 5 "config" note).
+knobs (pair/image batching, descriptor encoding, pallas toggle).  The
+training CLI (``training/train.py``) keeps its own argparse surface like the
+reference's trainer but builds on the same loss/model/extractor option
+values, and checkpoints produced there load directly into
+``ExtractorConfig.vit_weights_path``.
 """
 
 from __future__ import annotations
