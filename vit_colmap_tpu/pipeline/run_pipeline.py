@@ -192,6 +192,24 @@ class Pipeline:
                 db.num_verified_pairs,
                 db.num_matches,
             )
+        # Reference parity: the summary includes matching quality stats
+        # (``run_pipeline.py:398-404`` there).
+        try:
+            m = MetricsExtractor(db_path, db_path.parent).extract_matching_metrics(
+                self.config.reconstruction.min_num_matches
+            )
+            logger.info(
+                "      inlier ratio %.3f | verification rate %.1f%% | "
+                "pairs >= %d inliers: %d | config dist %s",
+                m.inlier_ratio,
+                m.verification_rate,
+                self.config.reconstruction.min_num_matches,
+                m.pairs_above_threshold,
+                m.config_distribution,
+            )
+        except Exception:
+            logger.debug("matching-metric summary unavailable", exc_info=True)
+        with ColmapDatabase.open_database(db_path) as db:
             if self.reconstructions:
                 total_pts = sum(
                     len(r.points3D) for r in self.reconstructions.values()
