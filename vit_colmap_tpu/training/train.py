@@ -105,6 +105,35 @@ def _synthetic_batches(batch_size, h, w, steps, preset, seed):
         yield {"image1": im1, "image2": im2, "H": Hs}
 
 
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    The framework's stand-in for the reference's
+    ``DataLoader(num_workers=4, prefetch)`` (``train_vit_features.py:
+    612-631``): host-side batch construction (cv2 decode/warp) overlaps the
+    30 ms device step.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 class ScalarLogger:
     """Structured JSONL scalar sink (one line per event)."""
 
@@ -314,7 +343,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         losses = []
-        for i, batch in enumerate(train_stream(epoch)):
+        for i, batch in enumerate(prefetch(train_stream(epoch))):
             try:
                 batch = {
                     k: jax.device_put(v, batch_sharding) for k, v in batch.items()
@@ -346,7 +375,7 @@ def main(argv: Optional[list[str]] = None) -> None:
 
         # validation
         val_losses = []
-        for batch in val_stream():
+        for batch in prefetch(val_stream()):
             batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
             rng_key, sub = jax.random.split(rng_key)
             m = eval_fn(state, bparams, batch, sub)
