@@ -1,0 +1,55 @@
+"""End-to-end seam test: training CLI -> orbax checkpoint ->
+TrainableViTExtractor inference -> pipeline-format database."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_checkpoint_loads_into_extractor(tmp_path):
+    from vit_colmap_tpu.training.train import main as train_main
+
+    ckpt_dir = tmp_path / "ckpt"
+    train_main(
+        [
+            "--synthetic-only", "--synthetic-image-size", "56",
+            "--backbone", "vits14", "--epochs", "1", "--batch-size", "2",
+            "--steps-per-epoch", "2", "--top-k", "16",
+            "--output-dir", str(ckpt_dir), "--log-interval", "1",
+        ]
+    )
+    assert (ckpt_dir / "best_model").exists()
+    assert (ckpt_dir / "scalars.jsonl").exists()
+
+    import cv2
+
+    from vit_colmap_tpu.database import ColmapDatabase
+    from vit_colmap_tpu.features.trainable_vit_extractor import (
+        TrainableViTExtractor,
+    )
+
+    image_dir = tmp_path / "imgs"
+    image_dir.mkdir()
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, (70, 84, 3), dtype=np.uint8), (0, 0), 1.5
+    )
+    cv2.imwrite(str(image_dir / "a.png"), img)
+
+    ex = TrainableViTExtractor(
+        weights_path=str(ckpt_dir / "best_model"),
+        backbone="vits14",
+        num_keypoints=64,
+        detection_threshold=0.0,
+        image_batch=1,
+    )
+    db_path = tmp_path / "db.db"
+    ex.extract(image_dir, db_path, "SIMPLE_RADIAL")
+    db = ColmapDatabase(db_path)
+    assert db.num_images == 1
+    iid = next(iter(db.read_images()))
+    k = db.read_keypoints(iid)
+    d = db.read_descriptors(iid)
+    assert k.shape[1] == 6 and len(k) > 0
+    assert d.shape == (len(k), 128)
+    db.close()

@@ -190,9 +190,17 @@ def main(argv: Optional[list[str]] = None) -> None:
         make_train_step,
     )
 
+    import math
+
     devices = jax.devices()
-    mesh = get_mesh()
-    logger.info("Devices: %s (mesh %s)", devices, dict(mesh.shape))
+    # The data axis must divide the batch; use the largest compatible
+    # device subset (e.g. batch 2 on an 8-device mesh -> 2 devices).
+    n_data = math.gcd(args.batch_size, len(devices))
+    mesh = get_mesh(devices[:n_data])
+    logger.info(
+        "Devices: %d available, using %d (mesh %s)",
+        len(devices), n_data, dict(mesh.shape),
+    )
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
 
