@@ -89,3 +89,36 @@ def test_rootsift_normalization():
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
     # Signs preserved.
     assert (np.sign(out) == np.sign(d)).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_vit_extractor_mixed_image_sizes(tmp_path):
+    """Images of different sizes must group into per-size batches with
+    separate cameras."""
+    import cv2
+
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    sizes = [(70, 84), (70, 84), (98, 112)]
+    for i, (h, w) in enumerate(sizes):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), (0, 0), 1.5
+        )
+        cv2.imwrite(str(d / f"im{i}.png"), img)
+
+    ex = ViTExtractor(backbone="vits14", max_keypoints=64, image_batch=2)
+    db_path = tmp_path / "db.db"
+    ex.extract(d, db_path, "SIMPLE_PINHOLE")
+    db = ColmapDatabase(db_path)
+    assert db.num_images == 3
+    assert db.num_cameras == 2  # one camera per image size
+    cams = db.read_cameras()
+    dims = sorted((c["width"], c["height"]) for c in cams.values())
+    assert dims == [(84, 70), (112, 98)]
+    for iid in db.read_images():
+        k = db.read_keypoints(iid)
+        assert k is not None and len(k) > 0
+    db.close()
