@@ -97,6 +97,37 @@ def match_pairs_batched(
     return jax.vmap(fn)(d1, d2, valid1, valid2)
 
 
+def prepare_int8_descriptors(desc_u8: jax.Array, valid: jax.Array, encoding: str):
+    """uint8 descriptors -> exact int8-matmul matching operands.
+
+    Decoded descriptors are an affine map of q: ``u = q`` (unsigned /
+    SIFT-style) or ``u = 2q - 255`` (the signed ViT encoding, scaled by 2 to
+    stay integral — cosine is scale-invariant).  With ``a = q - 128`` (int8):
+
+        u1 . u2 = alpha * (a1 . a2) + beta * (sum(a1) + sum(a2)) + gamma
+
+    where (alpha, beta, gamma) = (1, 128, 128^2 D) for unsigned and
+    (4, 2, D) for signed — EXACT integer identities, so the int8 MXU path
+    reproduces float cosine up to normalization rounding.
+
+    Returns (a int8 (..., N, D), sums f32 (..., N), inv_norms f32 (..., N)
+    with 0 marking invalid rows, coef f32 (3,)).
+    """
+    q = desc_u8.astype(jnp.int32)
+    a = (q - 128).astype(jnp.int8)
+    s = jnp.sum(q - 128, axis=-1).astype(jnp.float32)
+    D = desc_u8.shape[-1]
+    if encoding == "signed":
+        u = (2 * q - 255).astype(jnp.float32)
+        coef = jnp.array([4.0, 2.0, float(D)], jnp.float32)
+    else:
+        u = q.astype(jnp.float32)
+        coef = jnp.array([1.0, 128.0, 128.0 * 128.0 * D], jnp.float32)
+    norms = jnp.linalg.norm(u, axis=-1)
+    inv = jnp.where(valid & (norms > 1e-6), 1.0 / jnp.maximum(norms, 1e-6), 0.0)
+    return a, s, inv.astype(jnp.float32), coef
+
+
 def resolve_use_pallas(use_pallas: bool | None = None) -> bool:
     """Auto-select the Pallas matching kernel on TPU-like backends.
 

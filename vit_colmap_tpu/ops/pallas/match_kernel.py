@@ -107,6 +107,142 @@ def pallas_topk2(
     return vals[..., 0], vals[..., 1], idx[..., 0]
 
 
+def _topk2_int8_kernel(
+    a1_ref, a2_ref, s1_ref, s2_ref, inv1_ref, inv2_ref, coef_ref,
+    vals_ref, idx_ref,
+):
+    """int8 variant: similarity from ONE int8 MXU matmul + affine correction.
+
+    For uint8 descriptors q with decode u = alpha_dec*q + delta (a scalar
+    affine), cosine(u1, u2) is computed EXACTLY from a = q - 128 (int8):
+        u1 . u2 = alpha * (a1 . a2) + beta * (sum(a1) + sum(a2)) + gamma
+        cos     = (u1 . u2) * inv|u1| * inv|u2|
+    alpha/beta/gamma ride in SMEM; per-row sums and inverse norms are
+    precomputed on device (ops.matching.prepare_int8_descriptors).
+    int8 halves HBM traffic for the descriptor tiles and doubles MXU rate.
+    """
+    m = pl.program_id(2)
+    a1 = a1_ref[0]  # (TN, D) int8
+    a2 = a2_ref[0]  # (TM, D) int8
+    s1 = s1_ref[0]  # (TN, 1) f32  (beta * sum already applied? no: raw sums)
+    s2 = s2_ref[0]  # (1, TM) f32
+    inv1 = inv1_ref[0]  # (TN, 1) f32
+    inv2 = inv2_ref[0]  # (1, TM) f32 — 0 for invalid columns
+    alpha = coef_ref[0, 0]
+    beta = coef_ref[0, 1]
+    gamma = coef_ref[0, 2]
+
+    acc = jnp.dot(a1, a2.T, preferred_element_type=jnp.int32)  # MXU int8
+    dot = alpha * acc.astype(jnp.float32) + beta * (s1 + s2) + gamma
+    sim = dot * inv1 * inv2
+    sim = jnp.where(inv2 > 0, sim, -2.0)
+
+    local_b = jnp.max(sim, axis=1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    local_i_rel = jnp.min(
+        jnp.where(sim >= local_b[:, None], col_ids, TM), axis=1
+    )
+    sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
+    local_s = jnp.max(sim_wo, axis=1)
+    local_i = local_i_rel + m * TM
+
+    @pl.when(m == 0)
+    def _():
+        vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+    b_old = vals_ref[0, :, 0]
+    s_old = vals_ref[0, :, 1]
+    i_old = idx_ref[0, :, 0]
+    new_b = jnp.maximum(b_old, local_b)
+    new_s = jnp.maximum(jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s))
+    new_i = jnp.where(local_b > b_old, local_i, i_old)
+    vals_ref[0, :, 0] = new_b
+    vals_ref[0, :, 1] = new_s
+    idx_ref[0, :, 0] = new_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_topk2_int8(
+    a1: jax.Array,  # (P, N, D) int8 = q - 128
+    a2: jax.Array,  # (P, M, D)
+    s1: jax.Array,  # (P, N) f32 row sums of a
+    s2: jax.Array,  # (P, M)
+    inv1: jax.Array,  # (P, N) f32 inverse norms of decoded u
+    inv2: jax.Array,  # (P, M) — 0 marks invalid rows
+    coef: jax.Array,  # (3,) f32: alpha, beta, gamma
+    interpret: bool = False,
+):
+    P, N, D = a1.shape
+    M = a2.shape[1]
+    assert N % TN == 0 and M % TM == 0, (N, M)
+    n_mt = M // TM
+    grid = (P, N // TN, n_mt)
+    coef2 = jnp.broadcast_to(coef.reshape(1, 3), (1, 3))
+    out_shape = [
+        jax.ShapeDtypeStruct((P, N, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, N, 128), jnp.int32),
+    ]
+    vals, idx = pl.pallas_call(
+        _topk2_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TN, D), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, TM, D), lambda p, n, m: (p, m, 0)),
+            pl.BlockSpec((1, TN, 1), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
+            pl.BlockSpec((1, TN, 1), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
+            pl.BlockSpec((1, 3), lambda p, n, m: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        a1,
+        a2,
+        s1[..., None],
+        s2[:, None, :],
+        inv1[..., None],
+        inv2[:, None, :],
+        coef2,
+    )
+    return vals[..., 0], vals[..., 1], idx[..., 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cross_check", "interpret")
+)
+def pallas_match_pairs_int8(
+    a1, a2, s1, s2, inv1, inv2, coef,
+    valid1,  # (P, N) bool — for the keep mask (inv encodes validity too)
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+    interpret: bool = False,
+):
+    """int8 drop-in for pallas_match_pairs; same COLMAP filter semantics."""
+    best, second, best_idx = pallas_topk2_int8(
+        a1, a2, s1, s2, inv1, inv2, coef, interpret=interpret
+    )
+    dist_best = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    dist_second = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    keep = valid1
+    keep &= dist_best <= max_distance
+    keep &= dist_best <= max_ratio * dist_second
+    if cross_check:
+        _, _, i21 = pallas_topk2_int8(
+            a2, a1, s2, s1, inv2, inv1, coef, interpret=interpret
+        )
+        n = a1.shape[1]
+        back = jnp.take_along_axis(i21, best_idx, axis=1)
+        keep &= back == jnp.arange(n, dtype=back.dtype)[None]
+    return jnp.where(keep, best_idx, -1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cross_check", "interpret")
 )
