@@ -24,49 +24,67 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-TN = 128  # row tile
-TM = 128  # column tile
+TN = 128  # minimum row tile
+TM = 128  # minimum column tile
 
 
-def _topk2_block_kernel(d1_ref, d2_ref, v2_ref, vals_ref, idx_ref):
-    """Accumulates running (best, second, best_idx) across m-tiles.
+def _pick_tile(n: int, preferred: int = 512, minimum: int = 128) -> int:
+    """Largest power-of-two tile <= preferred that divides n.
 
-    The output blocks are revisited for every m step (their index_map ignores
-    m), so the running top-2 merge happens in fast memory; HBM only sees the
-    final block.  Outputs are (TN, 128) tiles with the payload in columns
-    0..1 (tiling rules require 128 lanes).
+    Bigger tiles cut the number of accumulator-merge steps (the kernel's
+    measured bottleneck): 512/512 tiles are 27% faster than 128/128 at
+    16x4096^2x128 on v5e (28.5 vs 39.0 ms).
     """
-    m = pl.program_id(2)
-    d1 = d1_ref[0]  # (TN, D) — blocks carry a leading (1,) pair dim
-    d2 = d2_ref[0]  # (TM, D)
-    v2 = v2_ref[0]  # (1, TM)
-    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # (TN, TM)
-    sim = jnp.where(v2 > 0, sim, -2.0)
-    # Manual top-2 (lax.top_k has no Pallas TPU lowering): max, mask the
-    # argmax column (first occurrence on ties, like argmax), max again.
-    local_b = jnp.max(sim, axis=1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    local_i_rel = jnp.min(
-        jnp.where(sim >= local_b[:, None], col_ids, TM), axis=1
-    )
-    sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
-    local_s = jnp.max(sim_wo, axis=1)
-    local_i = local_i_rel + m * TM
+    t = preferred
+    while t > minimum and n % t != 0:
+        t //= 2
+    return t if n % t == 0 else minimum
 
-    @pl.when(m == 0)
-    def _():
-        vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
-        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
 
-    b_old = vals_ref[0, :, 0]
-    s_old = vals_ref[0, :, 1]
-    i_old = idx_ref[0, :, 0]
-    new_b = jnp.maximum(b_old, local_b)
-    new_s = jnp.maximum(jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s))
-    new_i = jnp.where(local_b > b_old, local_i, i_old)
-    vals_ref[0, :, 0] = new_b
-    vals_ref[0, :, 1] = new_s
-    idx_ref[0, :, 0] = new_i
+def _make_topk2_kernel(tn: int, tm: int):
+    def kernel(d1_ref, d2_ref, v2_ref, vals_ref, idx_ref):
+        """Accumulates running (best, second, best_idx) across m-tiles.
+
+        The output blocks are revisited for every m step (their index_map
+        ignores m), so the running top-2 merge happens in fast memory; HBM
+        only sees the final block.  Outputs are (tn, 128) tiles with the
+        payload in columns 0..1 (tiling rules require 128 lanes).
+        """
+        m = pl.program_id(2)
+        d1 = d1_ref[0]  # (tn, D) — blocks carry a leading (1,) pair dim
+        d2 = d2_ref[0]  # (tm, D)
+        v2 = v2_ref[0]  # (1, tm)
+        sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(v2 > 0, sim, -2.0)
+        # Manual top-2 (lax.top_k has no Pallas TPU lowering): max, mask the
+        # argmax column (first occurrence on ties, like argmax), max again.
+        local_b = jnp.max(sim, axis=1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        local_i_rel = jnp.min(
+            jnp.where(sim >= local_b[:, None], col_ids, tm), axis=1
+        )
+        sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
+        local_s = jnp.max(sim_wo, axis=1)
+        local_i = local_i_rel + m * tm
+
+        @pl.when(m == 0)
+        def _():
+            vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
+            idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+        b_old = vals_ref[0, :, 0]
+        s_old = vals_ref[0, :, 1]
+        i_old = idx_ref[0, :, 0]
+        new_b = jnp.maximum(b_old, local_b)
+        new_s = jnp.maximum(
+            jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s)
+        )
+        new_i = jnp.where(local_b > b_old, local_i, i_old)
+        vals_ref[0, :, 0] = new_b
+        vals_ref[0, :, 1] = new_s
+        idx_ref[0, :, 0] = new_i
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,25 +99,27 @@ def pallas_topk2(
     P, N, D = d1.shape
     M = d2.shape[1]
     assert N % TN == 0 and M % TM == 0, (N, M)
-    n_mt = M // TM
+    tn = _pick_tile(N)
+    tm = _pick_tile(M)
+    n_mt = M // tm
     v2 = valid2.astype(jnp.float32).reshape(P, 1, M)
 
-    grid = (P, N // TN, n_mt)
+    grid = (P, N // tn, n_mt)
     out_shape = [
         jax.ShapeDtypeStruct((P, N, 128), jnp.float32),  # cols 0/1: best/sec
         jax.ShapeDtypeStruct((P, N, 128), jnp.int32),  # col 0: best idx
     ]
     vals, idx = pl.pallas_call(
-        _topk2_block_kernel,
+        _make_topk2_kernel(tn, tm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TN, D), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, TM, D), lambda p, n, m: (p, m, 0)),
-            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
+            pl.BlockSpec((1, tn, D), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tm, D), lambda p, n, m: (p, m, 0)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, 0, m)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
         ],
         out_shape=out_shape,
         interpret=interpret,
@@ -107,59 +127,65 @@ def pallas_topk2(
     return vals[..., 0], vals[..., 1], idx[..., 0]
 
 
-def _topk2_int8_kernel(
-    a1_ref, a2_ref, s1_ref, s2_ref, inv1_ref, inv2_ref, coef_ref,
-    vals_ref, idx_ref,
-):
+def _make_topk2_int8_kernel(tn: int, tm: int):
     """int8 variant: similarity from ONE int8 MXU matmul + affine correction.
 
-    For uint8 descriptors q with decode u = alpha_dec*q + delta (a scalar
-    affine), cosine(u1, u2) is computed EXACTLY from a = q - 128 (int8):
+    For uint8 descriptors q with an affine decode, cosine(u1, u2) is
+    computed EXACTLY from a = q - 128 (int8):
         u1 . u2 = alpha * (a1 . a2) + beta * (sum(a1) + sum(a2)) + gamma
         cos     = (u1 . u2) * inv|u1| * inv|u2|
-    alpha/beta/gamma ride in SMEM; per-row sums and inverse norms are
-    precomputed on device (ops.matching.prepare_int8_descriptors).
-    int8 halves HBM traffic for the descriptor tiles and doubles MXU rate.
+    Per-row sums and inverse norms are precomputed on device
+    (ops.matching.prepare_int8_descriptors).  int8 halves the descriptor
+    HBM traffic; measured neutral vs f32 at 4096^2x128 (top-2 bound).
     """
-    m = pl.program_id(2)
-    a1 = a1_ref[0]  # (TN, D) int8
-    a2 = a2_ref[0]  # (TM, D) int8
-    s1 = s1_ref[0]  # (TN, 1) f32  (beta * sum already applied? no: raw sums)
-    s2 = s2_ref[0]  # (1, TM) f32
-    inv1 = inv1_ref[0]  # (TN, 1) f32
-    inv2 = inv2_ref[0]  # (1, TM) f32 — 0 for invalid columns
-    alpha = coef_ref[0, 0]
-    beta = coef_ref[0, 1]
-    gamma = coef_ref[0, 2]
 
-    acc = jnp.dot(a1, a2.T, preferred_element_type=jnp.int32)  # MXU int8
-    dot = alpha * acc.astype(jnp.float32) + beta * (s1 + s2) + gamma
-    sim = dot * inv1 * inv2
-    sim = jnp.where(inv2 > 0, sim, -2.0)
+    def kernel(
+        a1_ref, a2_ref, s1_ref, s2_ref, inv1_ref, inv2_ref, coef_ref,
+        vals_ref, idx_ref,
+    ):
+        m = pl.program_id(2)
+        a1 = a1_ref[0]  # (tn, D) int8
+        a2 = a2_ref[0]  # (tm, D) int8
+        s1 = s1_ref[0]  # (tn, 1) f32
+        s2 = s2_ref[0]  # (1, tm) f32
+        inv1 = inv1_ref[0]  # (tn, 1) f32
+        inv2 = inv2_ref[0]  # (1, tm) f32 — 0 for invalid columns
+        alpha = coef_ref[0, 0]
+        beta = coef_ref[0, 1]
+        gamma = coef_ref[0, 2]
 
-    local_b = jnp.max(sim, axis=1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    local_i_rel = jnp.min(
-        jnp.where(sim >= local_b[:, None], col_ids, TM), axis=1
-    )
-    sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
-    local_s = jnp.max(sim_wo, axis=1)
-    local_i = local_i_rel + m * TM
+        acc = jnp.dot(a1, a2.T, preferred_element_type=jnp.int32)  # MXU int8
+        dot = alpha * acc.astype(jnp.float32) + beta * (s1 + s2) + gamma
+        sim = dot * inv1 * inv2
+        sim = jnp.where(inv2 > 0, sim, -2.0)
 
-    @pl.when(m == 0)
-    def _():
-        vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
-        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+        local_b = jnp.max(sim, axis=1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        local_i_rel = jnp.min(
+            jnp.where(sim >= local_b[:, None], col_ids, tm), axis=1
+        )
+        sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
+        local_s = jnp.max(sim_wo, axis=1)
+        local_i = local_i_rel + m * tm
 
-    b_old = vals_ref[0, :, 0]
-    s_old = vals_ref[0, :, 1]
-    i_old = idx_ref[0, :, 0]
-    new_b = jnp.maximum(b_old, local_b)
-    new_s = jnp.maximum(jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s))
-    new_i = jnp.where(local_b > b_old, local_i, i_old)
-    vals_ref[0, :, 0] = new_b
-    vals_ref[0, :, 1] = new_s
-    idx_ref[0, :, 0] = new_i
+        @pl.when(m == 0)
+        def _():
+            vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
+            idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+        b_old = vals_ref[0, :, 0]
+        s_old = vals_ref[0, :, 1]
+        i_old = idx_ref[0, :, 0]
+        new_b = jnp.maximum(b_old, local_b)
+        new_s = jnp.maximum(
+            jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s)
+        )
+        new_i = jnp.where(local_b > b_old, local_i, i_old)
+        vals_ref[0, :, 0] = new_b
+        vals_ref[0, :, 1] = new_s
+        idx_ref[0, :, 0] = new_i
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -176,28 +202,30 @@ def pallas_topk2_int8(
     P, N, D = a1.shape
     M = a2.shape[1]
     assert N % TN == 0 and M % TM == 0, (N, M)
-    n_mt = M // TM
-    grid = (P, N // TN, n_mt)
+    tn = _pick_tile(N)
+    tm = _pick_tile(M)
+    n_mt = M // tm
+    grid = (P, N // tn, n_mt)
     coef2 = jnp.broadcast_to(coef.reshape(1, 3), (1, 3))
     out_shape = [
         jax.ShapeDtypeStruct((P, N, 128), jnp.float32),
         jax.ShapeDtypeStruct((P, N, 128), jnp.int32),
     ]
     vals, idx = pl.pallas_call(
-        _topk2_int8_kernel,
+        _make_topk2_int8_kernel(tn, tm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TN, D), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, TM, D), lambda p, n, m: (p, m, 0)),
-            pl.BlockSpec((1, TN, 1), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
-            pl.BlockSpec((1, TN, 1), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, 1, TM), lambda p, n, m: (p, 0, m)),
+            pl.BlockSpec((1, tn, D), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tm, D), lambda p, n, m: (p, m, 0)),
+            pl.BlockSpec((1, tn, 1), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, 0, m)),
+            pl.BlockSpec((1, tn, 1), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, 0, m)),
             pl.BlockSpec((1, 3), lambda p, n, m: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, TN, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
         ],
         out_shape=out_shape,
         interpret=interpret,
