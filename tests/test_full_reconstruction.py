@@ -39,8 +39,8 @@ def _render_scene(image_dir, n_cams=4, seed=0):
     planes = [
         (np.array([[-2.4, -1.8, Z_FAR], [2.4, -1.8, Z_FAR],
                    [2.4, 1.8, Z_FAR], [-2.4, 1.8, Z_FAR]]), _texture(rng)),
-        (np.array([[-1.5, -1.0, Z_NEAR], [0.9, -1.0, Z_NEAR],
-                   [0.9, 1.0, Z_NEAR], [-1.5, 1.0, Z_NEAR]]), _texture(rng)),
+        (np.array([[-1.8, -1.2, Z_NEAR], [1.2, -1.2, Z_NEAR],
+                   [1.2, 1.2, Z_NEAR], [-1.8, 1.2, Z_NEAR]]), _texture(rng)),
     ]
     image_dir.mkdir(parents=True, exist_ok=True)
     cams = []
@@ -118,8 +118,17 @@ def test_full_reconstruction_two_planes(tmp_path):
     # depths while still reprojecting well) before the cluster check.
     depths = depths[depths < 3 * np.median(depths)]
     assert len(depths) >= 25
-    ratio = np.percentile(depths, 80) / np.percentile(depths, 20)
-    assert 1.15 < ratio < 1.9, ratio
+    # 1-D 2-means: cluster centers must sit at the two plane depths
+    # (ratio Z_FAR/Z_NEAR = 1.5, scale-free).  Percentile ratios are
+    # fragile when one plane dominates the detections.
+    c = np.array([depths.min(), depths.max()])
+    for _ in range(20):
+        assign = np.abs(depths[:, None] - c[None]).argmin(1)
+        for k in (0, 1):
+            if (assign == k).any():
+                c[k] = depths[assign == k].mean()
+    ratio = c.max() / c.min()
+    assert 1.2 < ratio < 2.2, (ratio, c)
 
     # Sparse model written to disk in COLMAP format.
     assert (tmp_path / "out" / "sparse" / "0" / "points3D.bin").exists()

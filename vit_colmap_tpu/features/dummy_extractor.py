@@ -85,11 +85,15 @@ class DummyExtractor(BaseExtractor):
             db.close()
             return
         height, width = first.shape[:2]
+        explicit_params = camera_params is not None
         if camera_params is None:
             camera_params = CameraConfig(model=camera_model).get_default_params(
                 width, height
             )
-        camera_id = db.add_camera(camera_model, width, height, camera_params)
+        camera_id = db.add_camera(
+            camera_model, width, height, camera_params,
+            prior_focal_length=explicit_params,
+        )
 
         for img_file in image_files:
             img = cv2.imread(str(img_file))

@@ -148,7 +148,10 @@ class HybridExtractor(BaseExtractor):
                 params = camera_params or CameraConfig(
                     model=camera_model
                 ).get_default_params(ow, oh)
-                camera_ids[(oh, ow)] = db.add_camera(camera_model, ow, oh, params)
+                camera_ids[(oh, ow)] = db.add_camera(
+                    camera_model, ow, oh, params,
+                    prior_focal_length=camera_params is not None,
+                )
             cam_id = camera_ids[(oh, ow)]
             B = self.image_batch
             for s in range(0, len(items), B):

@@ -66,7 +66,10 @@ class SiftExtractor(BaseExtractor):
                 params = camera_params or CameraConfig(
                     model=camera_model
                 ).get_default_params(w, h)
-                camera_ids[(h, w)] = db.add_camera(camera_model, w, h, params)
+                camera_ids[(h, w)] = db.add_camera(
+                    camera_model, w, h, params,
+                    prior_focal_length=camera_params is not None,
+                )
             cam_id = camera_ids[(h, w)]
             B = self.image_batch
             for s in range(0, len(items), B):

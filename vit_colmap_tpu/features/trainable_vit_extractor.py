@@ -168,7 +168,10 @@ class TrainableViTExtractor(BaseExtractor):
                 params = camera_params or CameraConfig(
                     model=camera_model
                 ).get_default_params(ow, oh)
-                camera_ids[(oh, ow)] = db.add_camera(camera_model, ow, oh, params)
+                camera_ids[(oh, ow)] = db.add_camera(
+                    camera_model, ow, oh, params,
+                    prior_focal_length=camera_params is not None,
+                )
             cam_id = camera_ids[(oh, ow)]
             B = self.image_batch
             rx, ry = ow / tw, oh / th

@@ -53,15 +53,48 @@ def normalize_points(pts: jax.Array, weights: jax.Array):
     return normed, T
 
 
-def _nullspace_9(A: jax.Array, weights: jax.Array | None = None) -> jax.Array:
-    """Right-singular vector of the smallest singular value of batched
-    A (..., n, 9) -> (..., 9).  Direct SVD of A (not eigh of AᵀA): squaring
-    the condition number is not affordable in float32.
+def _smallest_eigvec_sym(M: jax.Array, iters: int = 8) -> jax.Array:
+    """Smallest-eigenvalue eigenvector of symmetric PSD (..., k, k) via
+    shifted inverse iteration with Cholesky solves.
+
+    TPU-critical: ``jnp.linalg.svd``/``eigh`` on huge batches of tiny
+    matrices lower to slow iterative routines on TPU (measured 47 s for one
+    16-pair verification batch).  Inverse iteration is pure
+    matmul/triangular-solve arithmetic: the k x k solve amplifies the
+    smallest eigendirection by 1/shift per step, so a handful of steps
+    recover the nullspace to float32 accuracy regardless of conditioning.
     """
+    k = M.shape[-1]
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    shift = 1e-7 * jnp.abs(tr) + 1e-12
+    L = jnp.linalg.cholesky(M + shift * jnp.eye(k, dtype=M.dtype))
+    # Guard failed factorizations (non-PSD from numeric noise): retry with a
+    # larger shift where NaNs appeared.
+    bad = jnp.isnan(L).any(axis=(-2, -1), keepdims=True)
+    L2 = jnp.linalg.cholesky(M + (1e-3 * jnp.abs(tr) + 1e-8) * jnp.eye(k, dtype=M.dtype))
+    L = jnp.where(bad, L2, L)
+
+    v = jnp.full(M.shape[:-1], 1.0 / float(k) ** 0.5, dtype=M.dtype)
+    for _ in range(iters):
+        y = jax.scipy.linalg.solve_triangular(L, v[..., None], lower=True)
+        v = jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1
+        )[..., 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
+def _nullspace_9(A: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """Approximate right-nullspace of batched A (..., n, 9) -> (..., 9).
+
+    Row-normalizes A for conditioning, then inverse iteration on AᵀA (see
+    :func:`_smallest_eigvec_sym` for why not SVD on TPU)."""
+    # Row-normalize FIRST (pure conditioning), then apply LS weights.
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     if weights is not None:
         A = A * weights[..., None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    return Vt[..., 8, :]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    return _smallest_eigvec_sym(AtA)
 
 
 def fit_fundamental(pts1: jax.Array, pts2: jax.Array, weights: jax.Array | None = None) -> jax.Array:
@@ -82,10 +115,13 @@ def fit_fundamental(pts1: jax.Array, pts2: jax.Array, weights: jax.Array | None 
     )
     f = _nullspace_9(A, w)
     F = f.reshape(*f.shape[:-1], 3, 3)
-    # Enforce rank 2 (3x3 SVD, batched).
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    F = U @ (S[..., None] * Vt)
+    # Enforce rank 2 by subtracting the smallest singular component
+    # (inverse-iteration nullspaces of FᵀF / FFᵀ — no batched tiny SVDs,
+    # which are pathologically slow on TPU).
+    v3 = _smallest_eigvec_sym(jnp.einsum("...ji,...jk->...ik", F, F), iters=6)
+    u3 = _smallest_eigvec_sym(jnp.einsum("...ij,...kj->...ik", F, F), iters=6)
+    s3 = jnp.einsum("...i,...ij,...j->...", u3, F, v3)
+    F = F - s3[..., None, None] * u3[..., :, None] * v3[..., None, :]
     # Denormalize: F = T2ᵀ F_norm T1.
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     # Scale-normalize for numerical comparability.
@@ -151,22 +187,78 @@ def homography_error(H: jax.Array, pts1: jax.Array, pts2: jax.Array) -> jax.Arra
     return jnp.sum((proj - pts2) ** 2, axis=-1)
 
 
+def closest_rotation(M: jax.Array, iters: int = 60) -> jax.Array:
+    """Closest proper rotation to batched M (..., 3, 3) in Frobenius norm.
+
+    Davenport q-method: the optimal quaternion is the dominant eigenvector
+    of a symmetric 4x4 built from M, found by shifted power iteration — pure
+    arithmetic (batched 3x3 SVD, the textbook route, is pathologically slow
+    on TPU).  Always returns det=+1.
+    """
+    m = M / jnp.maximum(
+        jnp.linalg.norm(M, axis=(-2, -1), keepdims=True), 1e-12
+    )
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+    z1, z2, z3 = m12 - m21, m20 - m02, m01 - m10
+    K = jnp.stack(
+        [
+            jnp.stack([tr, z1, z2, z3], axis=-1),
+            jnp.stack([z1, 2 * m00 - tr, m01 + m10, m02 + m20], axis=-1),
+            jnp.stack([z2, m01 + m10, 2 * m11 - tr, m12 + m21], axis=-1),
+            jnp.stack([z3, m02 + m20, m12 + m21, 2 * m22 - tr], axis=-1),
+        ],
+        axis=-2,
+    )
+    # Shift so the largest eigenvalue dominates in magnitude; keep the shift
+    # tight (|lambda| <= 2 for unit-Frobenius m) or power iteration crawls.
+    Ks = K + 2.1 * jnp.eye(4, dtype=K.dtype)
+    v = jnp.full(K.shape[:-1], 0.5, dtype=K.dtype)
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", Ks, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    # q-method convention: q maximizes tr(Rᵀ m) with R = R(q) as below.
+    w, x, y, z = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    q = jnp.stack([w, x, y, z], axis=-1)
+    R = qvec_to_rotmat(q)
+    # qvec_to_rotmat builds R acting as column-vector rotation; q-method's B
+    # convention may be its transpose — pick whichever is closer to m.
+    d1 = jnp.sum((R - m) ** 2, axis=(-2, -1))
+    d2 = jnp.sum((jnp.swapaxes(R, -1, -2) - m) ** 2, axis=(-2, -1))
+    return jnp.where(
+        (d2 < d1)[..., None, None], jnp.swapaxes(R, -1, -2), R
+    )
+
+
+def _skew(t: jax.Array) -> jax.Array:
+    zeros = jnp.zeros_like(t[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -t[..., 2], t[..., 1]], axis=-1),
+            jnp.stack([t[..., 2], zeros, -t[..., 0]], axis=-1),
+            jnp.stack([-t[..., 1], t[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def decompose_essential(E: jax.Array):
-    """E -> four (R, t) candidates, batched. Returns R (..., 4, 3, 3), t (..., 4, 3)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # Ensure proper rotations.
-    detU = jnp.linalg.det(U)[..., None, None]
-    detV = jnp.linalg.det(Vt)[..., None, None]
-    U = U * jnp.concatenate(
-        [jnp.ones_like(detU), jnp.ones_like(detU), detU], axis=-1
+    """E -> four (R, t) candidates, batched. Returns R (..., 4, 3, 3), t (..., 4, 3).
+
+    SVD-free: t spans the left nullspace of E (inverse iteration on EEᵀ);
+    for each ±t, R solves [t]x R = E, i.e. (I - ttᵀ)R = -[t]x E, recovered
+    as the closest rotation to B = -[t]x E (q-method)."""
+    En = E / jnp.maximum(
+        jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12
     )
-    Vt = Vt * jnp.concatenate(
-        [jnp.ones_like(detV), jnp.ones_like(detV), detV], axis=-2
-    )
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
-    t = U[..., :, 2]
+    EEt = jnp.einsum("...ij,...kj->...ik", En, En)
+    t = _smallest_eigvec_sym(EEt, iters=8)
+    B1 = -_skew(t) @ En
+    B2 = _skew(t) @ En
+    R1 = closest_rotation(B1)
+    R2 = closest_rotation(B2)
     Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
     ts = jnp.stack([t, -t, t, -t], axis=-2)
     return Rs, ts
@@ -181,10 +273,11 @@ def triangulate(P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array) 
         return jnp.stack([r0, r1], axis=-2)  # (..., n, 2, 4)
 
     A = jnp.concatenate([rows(P1, pts1), rows(P2, pts2)], axis=-2)  # (..., n, 4, 4)
-    # Row-normalize for conditioning, then direct SVD nullspace.
+    # Row-normalize for conditioning; nullspace via inverse iteration
+    # (batched tiny SVDs are pathologically slow on TPU).
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[..., 3, :]
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    X = _smallest_eigvec_sym(AtA, iters=6)
     return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) > 1e-10, X[..., 3:], 1e-10)
 
 

@@ -147,47 +147,76 @@ class IncrementalMapper:
                 return True
         return False
 
-    def _try_init_pair(self, i1, i2, m) -> bool:
-        s = self.s
-        k1, k2 = s.K(i1), s.K(i2)
-        x1 = s.keypoints[i1][m[:, 0]].astype(np.float64)
-        x2 = s.keypoints[i2][m[:, 1]].astype(np.float64)
+    def _bootstrap_candidates(self, x1, x2, k1, k2):
+        """Candidate relative poses for an init pair: the essential-matrix
+        pose plus homography decompositions (planar/low-parallax scenes
+        make E degenerate — COLMAP falls back to H there too)."""
         x1n = (x1 - k1[:2, 2]) / np.diag(k1)[:2]
         x2n = (x2 - k2[:2, 2]) / np.diag(k2)[:2]
-
+        cands = []
+        # Essential bootstrap.
         E = np.asarray(
             geom.fit_essential(
                 jnp.asarray(x1n)[None], jnp.asarray(x2n)[None]
             )[0]
         )
-        mask = np.ones(len(m), bool)
+        mask = np.ones(len(x1), bool)
         R, t = geom.recover_pose_from_E(
             jnp.asarray(E)[None], jnp.asarray(x1n)[None],
             jnp.asarray(x2n)[None], jnp.asarray(mask)[None],
         )
-        R, t = np.asarray(R[0], np.float64), np.asarray(t[0], np.float64)
+        cands.append((np.asarray(R[0], np.float64), np.asarray(t[0], np.float64)))
+        # Homography bootstrap (cv2 decomposition; host one-shot).
+        try:
+            import cv2
 
-        P1 = k1 @ np.eye(3, 4)
-        P2 = k2 @ np.concatenate([R, t[:, None]], axis=1)
-        X = np.asarray(
-            geom.triangulate(
-                jnp.asarray(P1)[None], jnp.asarray(P2)[None],
-                jnp.asarray(x1)[None], jnp.asarray(x2)[None],
-            )[0],
-            np.float64,
-        )
-        C1 = np.zeros(3)
-        C2 = -R.T @ t
-        angles = _triangulation_angles(X, C1, C2)
-        e1 = _reproj_errors(np.eye(3), np.zeros(3), k1, X, x1)
-        e2 = _reproj_errors(R, t, k2, X, x2)
+            H = np.asarray(
+                geom.fit_homography(
+                    jnp.asarray(x1)[None], jnp.asarray(x2)[None]
+                )[0],
+                np.float64,
+            )
+            n_sol, Rs, ts, _ = cv2.decomposeHomographyMat(H, k1)
+            for k in range(n_sol):
+                tk = ts[k].ravel()
+                norm = np.linalg.norm(tk)
+                if norm > 1e-8:
+                    cands.append((Rs[k], tk / norm))
+        except Exception:  # pragma: no cover - cv2 edge cases
+            logger.debug("homography decomposition failed", exc_info=True)
+        return cands
+
+    def _try_init_pair(self, i1, i2, m) -> bool:
+        s = self.s
+        k1, k2 = s.K(i1), s.K(i2)
+        x1 = s.keypoints[i1][m[:, 0]].astype(np.float64)
+        x2 = s.keypoints[i2][m[:, 1]].astype(np.float64)
         thr = self.cfg.filter_max_reproj_error_px
-        good = (
-            (angles > self.cfg.min_triangulation_angle_deg)
-            & (e1 < thr)
-            & (e2 < thr)
-        )
-        if good.sum() < max(self.cfg.min_num_matches, 20):
+
+        best = None  # (n_good, good mask, R, t, X)
+        P1 = k1 @ np.eye(3, 4)
+        for R, t in self._bootstrap_candidates(x1, x2, k1, k2):
+            P2 = k2 @ np.concatenate([R, t[:, None]], axis=1)
+            X = np.asarray(
+                geom.triangulate(
+                    jnp.asarray(P1)[None], jnp.asarray(P2)[None],
+                    jnp.asarray(x1)[None], jnp.asarray(x2)[None],
+                )[0],
+                np.float64,
+            )
+            angles = _triangulation_angles(X, np.zeros(3), -R.T @ t)
+            e1 = _reproj_errors(np.eye(3), np.zeros(3), k1, X, x1)
+            e2 = _reproj_errors(R, t, k2, X, x2)
+            good = (
+                (angles > self.cfg.min_triangulation_angle_deg)
+                & (e1 < thr)
+                & (e2 < thr)
+            )
+            if best is None or good.sum() > best[0]:
+                best = (int(good.sum()), good, R, t, X)
+
+        n_good, good, R, t, X = best
+        if n_good < max(self.cfg.min_num_matches, 20):
             return False
 
         s.poses[i1] = (np.eye(3), np.zeros(3))
@@ -197,7 +226,7 @@ class IncrementalMapper:
                 X[idx], [(i1, int(m[idx, 0])), (i2, int(m[idx, 1]))]
             )
         logger.info(
-            "Initialized model with pair (%d, %d): %d points", i1, i2, good.sum()
+            "Initialized model with pair (%d, %d): %d points", i1, i2, n_good
         )
         return True
 
@@ -383,7 +412,14 @@ class IncrementalMapper:
         fixed = np.zeros(n_img, bool)
         fixed[0] = True
 
-        refine_focal = np.full(n_img, bool(self.cfg.ba_refine_focal))
+        # Refine focal only for cameras WITHOUT a prior focal length
+        # (user-provided intrinsics are trusted; fronto-parallel scenes make
+        # focal/depth nearly unobservable and refinement drifts).
+        refine_focal = np.zeros(n_img, bool)
+        if self.cfg.ba_refine_focal:
+            for iid, k in img_index.items():
+                cam_rec = s.cameras[s.images[iid]["camera_id"]]
+                refine_focal[k] = not cam_rec.get("prior_focal_length", False)
         problem = BAProblem(
             cam_params=jnp.asarray(cam),
             points=jnp.asarray(pts),

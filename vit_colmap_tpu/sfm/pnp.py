@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from vit_colmap_tpu.sfm import geometry as geom
+
 
 def fit_pose_dlt(
     pts2d: jax.Array,  # (..., n, 2) K-normalized image coords
@@ -42,42 +44,30 @@ def fit_pose_dlt(
         axis=-1,
     )
     A = jnp.concatenate([r1, r2], axis=-2)  # (..., 2n, 12)
+    # Row-normalize for conditioning, then weights; nullspace via inverse
+    # iteration (batched tiny SVDs are pathologically slow on TPU).
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     A = A * jnp.concatenate([w, w], axis=-1)[..., None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    p = Vt[..., 11, :]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    p = geom._smallest_eigvec_sym(AtA, iters=8)
     P = p.reshape(*p.shape[:-1], 3, 4)
 
+    # The nullspace is defined up to sign; resolve with cheirality BEFORE
+    # orthogonalization (closest_rotation always returns a proper rotation,
+    # so sign information must come from the projective P itself).
     Rm = P[..., :3]
-    U, S, Vt2 = jnp.linalg.svd(Rm)
-    scale = jnp.mean(S, axis=-1)
-    R = U @ Vt2
-    detR = jnp.linalg.det(R)
-    # det -1 -> flip (and flip t): multiply whole pose by -1.
-    sgn_det = jnp.sign(detR)[..., None, None]
-    R = R * sgn_det * jnp.where(detR[..., None, None] < 0, -1.0, 1.0)
-    # The above collapses to R for det>0; for det<0 re-orthogonalize with
-    # flipped last singular vector:
-    flipV = Vt2 * jnp.stack(
-        [jnp.ones_like(detR), jnp.ones_like(detR), jnp.sign(detR)], axis=-1
-    )[..., :, None]
-    R = U @ flipV
-    t = P[..., 3] / jnp.maximum(scale[..., None], 1e-12)
-
-    # Cheirality: majority of points must have positive depth; else negate.
-    depth = jnp.einsum("...ij,...nj->...ni", R, pts3d)[..., 2] + t[..., None, 2]
+    tm = P[..., 3]
+    depth = jnp.einsum("...ij,...nj->...ni", Rm, pts3d)[..., 2] + tm[..., None, 2]
     pos = jnp.sum((depth > 0) * w, axis=-1)
     neg = jnp.sum((depth < 0) * w, axis=-1)
-    flip = (neg > pos)[..., None]
-    t = jnp.where(flip, -t, t)
-    R = jnp.where(flip[..., None], -R, R)
-    # -R is not a rotation (det -1); restore properness by flipping the last
-    # column of V as well when we flipped.
-    U3, S3, Vt3 = jnp.linalg.svd(R)
-    d = jnp.sign(jnp.linalg.det(U3 @ Vt3))
-    fixV = Vt3 * jnp.stack(
-        [jnp.ones_like(d), jnp.ones_like(d), d], axis=-1
-    )[..., :, None]
-    R = U3 @ fixV
+    sgn = jnp.where(neg > pos, -1.0, 1.0)
+    Rm = Rm * sgn[..., None, None]
+    tm = tm * sgn[..., None]
+
+    R = geom.closest_rotation(Rm)
+    # Scale: sum of singular values of Rm equals tr(RᵀRm) at the optimum.
+    scale = jnp.einsum("...ij,...ij->...", R, Rm) / 3.0
+    t = tm / jnp.maximum(scale[..., None], 1e-12)
     return R, t
 
 
