@@ -631,8 +631,19 @@ def incremental_mapping(
                 mapper.filter_points()
                 reg_since_ba = 0
 
-        mapper.bundle_adjust(iters=config.ba_global_iters)
-        mapper.filter_points()
+        # Final iterative refinement (COLMAP-style): retriangulate features
+        # that gained geometry during the build, then global BA + filter.
+        for _ in range(2):
+            created = sum(
+                mapper.triangulate_new(iid) for iid in list(state.poses)
+            )
+            mapper.bundle_adjust(iters=config.ba_global_iters)
+            removed = mapper.filter_points()
+            logger.info(
+                "Refinement round: +%d points, -%d filtered", created, removed
+            )
+            if created <= removed:
+                break
         rec = mapper.to_reconstruction()
         if len(rec.images) >= 2 and len(rec.points3D) >= 10:
             rec.write(output_path / str(model_idx))
