@@ -187,3 +187,44 @@ def test_incremental_mapping_end_to_end(tmp_path):
     # Binary files exist.
     for name in ("cameras.bin", "images.bin", "points3D.bin"):
         assert (tmp_path / "sparse" / "0" / name).exists()
+
+
+def test_track_merge(tmp_path):
+    """try_merge combines duplicate 3D points when consistent and refuses
+    inconsistent or same-image merges."""
+    from vit_colmap_tpu.sfm.incremental import IncrementalMapper, _MapperState
+
+    X, K, cams = _look_at_scene(n_pts=1, n_cams=4, seed=9)
+    xyz = X[0]
+    cameras = {1: {"camera_id": 1, "model": "PINHOLE", "width": 640,
+                   "height": 480,
+                   "params": np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+                   "prior_focal_length": True}}
+    images = {i + 1: {"image_id": i + 1, "name": f"i{i}", "camera_id": 1}
+              for i in range(4)}
+    kps = {}
+    for i, (R, t) in enumerate(cams):
+        uv, _ = _project(R, t, K, X)
+        kps[i + 1] = np.vstack([uv, uv + 500.0]).astype(np.float32)  # f0 good, f1 far
+    state = _MapperState(cameras, images, kps)
+    mapper = IncrementalMapper(state, {}, ReconstructionConfig())
+    for i, (R, t) in enumerate(cams):
+        state.poses[i + 1] = (R, t)
+
+    # Same physical point observed as two separate tracks.
+    pa = state.add_point(xyz + 0.001, [(1, 0), (2, 0)])
+    pb = state.add_point(xyz - 0.001, [(3, 0), (4, 0)])
+    assert mapper.try_merge(pa, pb)
+    assert pb not in state.points
+    assert len(state.tracks[pa]) == 4
+    assert all(state.feat_pid[i][0] == pa for i in (1, 2, 3, 4))
+
+    # Inconsistent merge (second point observed at far-off feature 1).
+    pc = state.add_point(xyz, [(1, 1)])
+    pd = state.add_point(xyz + np.array([5.0, 5.0, 0.0]), [(3, 1)])
+    assert not mapper.try_merge(pc, pd)
+    assert pd in state.points
+
+    # Same-image overlap is refused.
+    pe = state.add_point(xyz, [(2, 1)])
+    assert not mapper.try_merge(pa, pe) or (2, 1) not in state.tracks[pa]

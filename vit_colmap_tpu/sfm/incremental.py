@@ -301,6 +301,39 @@ class IncrementalMapper:
         logger.info("Registered image %d with %d/%d inliers", iid, n_inl, n)
         return True
 
+    # --------------------------------------------------------------- merging
+    def try_merge(self, pa: int, pb: int) -> bool:
+        """Merge two 3D points into one track (COLMAP's MergeTracks) when
+        the combined track is geometrically consistent."""
+        s = self.s
+        if pa == pb or pa not in s.points or pb not in s.points:
+            return False
+        ta, tb = s.tracks[pa], s.tracks[pb]
+        # One image must not observe the merged point twice.
+        imgs_a = {i for i, _ in ta}
+        if any(i in imgs_a for i, _ in tb):
+            return False
+        wa, wb = len(ta), len(tb)
+        xyz = (wa * s.points[pa] + wb * s.points[pb]) / (wa + wb)
+        thr = self.cfg.filter_max_reproj_error_px
+        for iid, f in ta + tb:
+            if iid not in s.poses:
+                continue
+            R, t = s.poses[iid]
+            e = _reproj_errors(
+                R, t, s.K(iid), xyz[None], s.keypoints[iid][f][None]
+            )[0]
+            if not np.isfinite(e) or e > thr:
+                return False
+        # Absorb pb into pa.
+        s.points[pa] = xyz
+        for iid, f in tb:
+            s.feat_pid[iid][f] = pa
+            s.tracks[pa].append((iid, f))
+        s.points.pop(pb)
+        s.tracks.pop(pb)
+        return True
+
     # -------------------------------------------------------- triangulation
     def triangulate_new(self, iid) -> int:
         """Triangulate matches of image `iid` against registered partners."""
@@ -316,6 +349,15 @@ class IncrementalMapper:
             K1 = s.K(other)
             P1 = K1 @ np.concatenate([R1, t1[:, None]], axis=1)
             C1 = -R1.T @ t1
+
+            # Track merging: both features already have DIFFERENT 3D points
+            # -> the match says they are the same point; merge when the
+            # combined track is consistent (COLMAP's MergeTracks).
+            pid_s = s.feat_pid[iid][f_self]
+            pid_o = s.feat_pid[other][f_other]
+            both = (pid_s >= 0) & (pid_o >= 0) & (pid_s != pid_o)
+            for pa, pb in zip(pid_o[both], pid_s[both]):
+                self.try_merge(int(pa), int(pb))
 
             # Track extension: partner feature already has a 3D point and our
             # feature is free -> join the track when the point reprojects
