@@ -80,6 +80,7 @@ def test_pnp_ransac_recovers_pose():
 
 def _make_ba_problem(cams, K, X, cam_noisy, pts, refine_focal=False,
                      K_scale=1.0):
+    """All images share ONE camera (the mapper's common case)."""
     n_img, n_pts = len(cams), len(X)
     obs_cam, obs_pt, obs_xy = [], [], []
     for i, (R, t) in enumerate(cams):
@@ -94,21 +95,23 @@ def _make_ba_problem(cams, K, X, cam_noisy, pts, refine_focal=False,
     K_used[:2, 2] = K[:2, 2]
     return BAProblem(
         cam_params=jnp.asarray(cam_noisy),
+        focal_log=jnp.zeros(1, jnp.float32),
         points=jnp.asarray(pts),
         obs_cam=jnp.asarray(obs_cam, jnp.int32),
         obs_point=jnp.asarray(obs_pt, jnp.int32),
         obs_xy=jnp.asarray(np.asarray(obs_xy), jnp.float32),
         obs_valid=jnp.ones(n_obs, bool),
         K=jnp.asarray(np.tile(K_used, (n_img, 1, 1)), jnp.float32),
+        cam_of_img=jnp.zeros(n_img, jnp.int32),
         fixed_cam_mask=jnp.asarray([True, True] + [False] * (n_img - 2)),
-        refine_focal_mask=jnp.full((n_img,), refine_focal),
+        refine_focal_mask=jnp.full((1,), refine_focal),
     )
 
 
 def test_bundle_adjust_reduces_error():
     X, K, cams = _look_at_scene(n_pts=60, n_cams=3)
     rng = np.random.default_rng(2)
-    cam = np.zeros((3, 7), np.float32)
+    cam = np.zeros((3, 6), np.float32)
     for i, (R, t) in enumerate(cams):
         cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
         cam[i, 3:6] = t
@@ -118,19 +121,21 @@ def test_bundle_adjust_reduces_error():
     cam_noisy[2, 3:6] += 0.05
 
     problem = _make_ba_problem(cams, K, X, cam_noisy, pts)
-    cam_out, pts_out, msr = bundle_adjust(problem, iters=25, cg_iters=30)
+    cam_out, focal_out, pts_out, msr = bundle_adjust(
+        problem, iters=25, cg_iters=30
+    )
     assert float(msr) < 0.05, float(msr)
     # Points recovered close to ground truth.
     err = np.linalg.norm(np.asarray(pts_out) - X, axis=-1)
     assert np.median(err) < 0.01
-    # Focal scales untouched when refinement is off.
-    np.testing.assert_allclose(np.asarray(cam_out)[:, 6], 0.0, atol=1e-8)
+    # Focal scale untouched when refinement is off.
+    np.testing.assert_allclose(np.asarray(focal_out), 0.0, atol=1e-8)
 
 
 def test_bundle_adjust_refines_focal():
-    """BA with a 10%-wrong focal guess recovers the true focal scale."""
+    """BA with a 10%-wrong focal guess recovers the true (shared) focal."""
     X, K, cams = _look_at_scene(n_pts=80, n_cams=4, seed=5)
-    cam = np.zeros((4, 7), np.float32)
+    cam = np.zeros((4, 6), np.float32)
     for i, (R, t) in enumerate(cams):
         cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
         cam[i, 3:6] = t
@@ -139,11 +144,13 @@ def test_bundle_adjust_refines_focal():
     problem = _make_ba_problem(
         cams, K, X, cam, pts, refine_focal=True, K_scale=0.9
     )
-    cam_out, pts_out, msr = bundle_adjust(problem, iters=30, cg_iters=40)
+    cam_out, focal_out, pts_out, msr = bundle_adjust(
+        problem, iters=30, cg_iters=40
+    )
     assert float(msr) < 0.1, float(msr)
-    scales = np.exp(np.asarray(cam_out)[2:, 6])  # free cameras only
-    # 0.9 * exp(s) should approach 1.0 -> s ~ log(1/0.9)
-    np.testing.assert_allclose(scales, 1.0 / 0.9, rtol=0.05)
+    scale = float(np.exp(np.asarray(focal_out)[0]))
+    # 0.9 * exp(s) should approach 1.0.
+    assert abs(scale - 1.0 / 0.9) < 0.05 * (1.0 / 0.9), scale
 
 
 @pytest.mark.slow

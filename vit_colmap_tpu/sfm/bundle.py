@@ -3,17 +3,20 @@
 Replaces Ceres inside COLMAP's mapper (SURVEY.md §2.3 "Incremental SfM
 mapper + bundle adjustment").  TPU-native formulation:
 
-* parameters = camera poses (axis-angle + translation, 6 per image) and 3D
-  points, flattened into one vector; optionally per-camera focal scale,
+* parameters = camera poses (axis-angle + translation, 6 per image),
+  **shared per-camera log-focal scales** (COLMAP-style intrinsics
+  refinement), and 3D points, flattened into one vector,
 * residuals = Huber-weighted pixel reprojection errors over a fixed-size
   observation array (image_idx, point_idx, xy, valid),
 * the normal equations are solved **matrix-free**: (JᵀJ + λ diag)·v products
-  come from one jvp + one vjp through the residual function, and conjugate
-  gradients runs inside the jitted step — no Jacobian or Schur complement is
-  ever materialized, so the whole LM iteration is a handful of fused XLA
-  kernels,
-* the damping update (accept/reject) uses ``lax.cond`` — no host sync inside
-  the optimization loop.
+  come from one jvp + one vjp through the residual function, and Jacobi-
+  preconditioned conjugate gradients runs inside the jitted step — no
+  Jacobian or Schur complement is ever materialized, so the whole LM
+  iteration is a handful of fused XLA kernels,
+* the Huber weight is ``stop_gradient``-ed per linearization (IRLS) so the
+  Gauss-Newton model stays consistent,
+* step acceptance uses a fused 5-scale backtracking evaluation — no host
+  syncs inside the optimization loop (it is one ``lax.scan``).
 """
 
 from __future__ import annotations
@@ -74,35 +77,38 @@ def matrix_to_axis_angle(R: jax.Array) -> jax.Array:
 class BAProblem(NamedTuple):
     """Fixed-shape bundle-adjustment problem.
 
-    cam_params: (n_img, 7) axis-angle + t + log focal scale (COLMAP-style
-    focal refinement: effective f = K_f * exp(s); s is frozen unless
+    cam_params: (n_img, 6) axis-angle + t.  focal_log: (n_cam,) shared
+    per-CAMERA log focal scale (effective f = K_f * exp(s); frozen unless
     ``refine_focal_mask`` allows it).  points: (n_pts, 3).
     obs_*: (n_obs,) observation table; obs_valid masks padding.
-    K: (n_img, 3, 3); fixed_cam_mask: (n_img,) — poses held constant
-    (gauge fixing: the mapper pins the first registered image).
+    K: (n_img, 3, 3); cam_of_img: (n_img,) image -> camera index;
+    fixed_cam_mask: (n_img,) poses held constant (gauge fixing: the mapper
+    pins the first registered image); refine_focal_mask: (n_cam,).
     """
 
     cam_params: jax.Array
+    focal_log: jax.Array
     points: jax.Array
-    obs_cam: jax.Array  # int32 (n_obs,)
+    obs_cam: jax.Array  # int32 (n_obs,) image index
     obs_point: jax.Array  # int32 (n_obs,)
     obs_xy: jax.Array  # (n_obs, 2) pixels
     obs_valid: jax.Array  # bool (n_obs,)
     K: jax.Array
+    cam_of_img: jax.Array  # int32 (n_img,)
     fixed_cam_mask: jax.Array
-    refine_focal_mask: jax.Array  # (n_img,) bool — focal scale free
+    refine_focal_mask: jax.Array  # (n_cam,) bool
 
 
-CAM_DOF = 7
+CAM_DOF = 6
 
 
-def _residuals(cam_params, points, problem: BAProblem, huber_delta: float):
+def _residuals(cam_params, focal_log, points, problem: BAProblem, huber_delta):
     """(n_obs, 2) Huber-scaled reprojection residuals."""
-    cams = cam_params[problem.obs_cam]  # (n_obs, 7)
+    cams = cam_params[problem.obs_cam]  # (n_obs, 6)
     X = points[problem.obs_point]  # (n_obs, 3)
     R = axis_angle_to_matrix(cams[:, :3])
     t = cams[:, 3:6]
-    fscale = jnp.exp(cams[:, 6])
+    fscale = jnp.exp(focal_log[problem.cam_of_img[problem.obs_cam]])
     Xc = jnp.einsum("nij,nj->ni", R, X) + t
     z = jnp.where(jnp.abs(Xc[:, 2:]) > 1e-8, Xc[:, 2:], 1e-8)
     xn = Xc[:, :2] / z
@@ -114,28 +120,31 @@ def _residuals(cam_params, points, problem: BAProblem, huber_delta: float):
     # delta.  The weight is treated as a constant per linearization
     # (stop_gradient) so the Gauss-Newton model stays consistent.
     norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
-    w = jnp.where(norm > huber_delta, jnp.sqrt(huber_delta / jnp.maximum(norm, 1e-8)), 1.0)
+    w = jnp.where(
+        norm > huber_delta, jnp.sqrt(huber_delta / jnp.maximum(norm, 1e-8)), 1.0
+    )
     r = r * jax.lax.stop_gradient(w)
     return jnp.where(problem.obs_valid[:, None], r, 0.0)
 
 
-def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
+def _jtj_diag(cam_params, focal_log, points, problem: BAProblem, huber_delta):
     """Exact diag(JᵀJ), computed from per-observation Jacobians.
 
-    Each residual row touches exactly one camera (6 dof) and one point
-    (3 dof): a vmapped 2x9 Jacobian per observation + segment-sums gives the
-    full diagonal without materializing J — the TPU stand-in for Ceres'
-    block-diagonal bookkeeping.
+    Each residual row touches one image pose (6 dof), one shared focal (1)
+    and one point (3): a vmapped 2x10 Jacobian per observation +
+    segment-sums gives the full diagonal without materializing J — the TPU
+    stand-in for Ceres' block-diagonal bookkeeping.
     """
     n_img = cam_params.shape[0]
+    n_cam = focal_log.shape[0]
     n_pts = points.shape[0]
 
-    def one_obs(cam7, pt3, xy, Kmat, valid):
+    def one_obs(cam6, fl, pt3, xy, Kmat, valid):
         def r(cp):
-            c, p = cp[:CAM_DOF], cp[CAM_DOF:]
+            c, f, p = cp[:6], cp[6], cp[7:]
             R = axis_angle_to_matrix(c[:3])
             Xc = R @ p + c[3:6]
-            fs = jnp.exp(c[6])
+            fs = jnp.exp(f)
             z = jnp.where(jnp.abs(Xc[2]) > 1e-8, Xc[2], 1e-8)
             u = Xc[0] / z * Kmat[0, 0] * fs + Kmat[0, 2]
             v = Xc[1] / z * Kmat[1, 1] * fs + Kmat[1, 2]
@@ -148,19 +157,22 @@ def _jtj_diag(cam_params, points, problem: BAProblem, huber_delta: float):
             )
             return res * w * valid
 
-        J = jax.jacfwd(r)(jnp.concatenate([cam7, pt3]))  # (2, 10)
+        J = jax.jacfwd(r)(jnp.concatenate([cam6, fl[None], pt3]))  # (2, 10)
         return jnp.sum(J * J, axis=0)  # (10,)
 
+    obs_focal = problem.cam_of_img[problem.obs_cam]
     sq = jax.vmap(one_obs)(
         cam_params[problem.obs_cam],
+        focal_log[obs_focal],
         points[problem.obs_point],
         problem.obs_xy,
         problem.K[problem.obs_cam],
         problem.obs_valid.astype(jnp.float32),
     )  # (n_obs, 10)
-    cam_diag = jax.ops.segment_sum(sq[:, :CAM_DOF], problem.obs_cam, n_img)
-    pt_diag = jax.ops.segment_sum(sq[:, CAM_DOF:], problem.obs_point, n_pts)
-    return jnp.concatenate([cam_diag.ravel(), pt_diag.ravel()])
+    cam_diag = jax.ops.segment_sum(sq[:, :6], problem.obs_cam, n_img)
+    focal_diag = jax.ops.segment_sum(sq[:, 6], obs_focal, n_cam)
+    pt_diag = jax.ops.segment_sum(sq[:, 7:], problem.obs_point, n_pts)
+    return jnp.concatenate([cam_diag.ravel(), focal_diag, pt_diag.ravel()])
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
@@ -170,31 +182,32 @@ def bundle_adjust(
     cg_iters: int = 50,
     huber_delta: float = 3.0,
 ):
-    """Run LM; returns (cam_params, points, final mean squared residual)."""
+    """Run LM; returns (cam_params, focal_log, points, mean sq residual)."""
     n_img = problem.cam_params.shape[0]
+    n_cam = problem.focal_log.shape[0]
     n_pts = problem.points.shape[0]
 
-    def pack(cam, pts):
-        return jnp.concatenate([cam.ravel(), pts.ravel()])
+    def pack(cam, focal, pts):
+        return jnp.concatenate([cam.ravel(), focal, pts.ravel()])
 
     def unpack(x):
-        cam = x[: n_img * CAM_DOF].reshape(n_img, CAM_DOF)
-        pts = x[n_img * CAM_DOF :].reshape(n_pts, 3)
-        return cam, pts
+        cam = x[: n_img * 6].reshape(n_img, 6)
+        focal = x[n_img * 6 : n_img * 6 + n_cam]
+        pts = x[n_img * 6 + n_cam :].reshape(n_pts, 3)
+        return cam, focal, pts
 
     cam_free = jnp.broadcast_to(
-        ~problem.fixed_cam_mask[:, None], (n_img, CAM_DOF)
+        ~problem.fixed_cam_mask[:, None], (n_img, 6)
     ).astype(jnp.float32)
-    # Focal freedom is independent of pose fixing (COLMAP refines shared
-    # intrinsics even for the gauge-fixed camera).
-    cam_free = cam_free.at[:, 6].set(
-        problem.refine_focal_mask.astype(jnp.float32)
+    free_mask = pack(
+        cam_free,
+        problem.refine_focal_mask.astype(jnp.float32),
+        jnp.ones((n_pts, 3)),
     )
-    free_mask = pack(cam_free, jnp.ones((n_pts, 3)))
 
     def res_fn(x):
-        cam, pts = unpack(x)
-        return _residuals(cam, pts, problem, huber_delta).ravel()
+        cam, focal, pts = unpack(x)
+        return _residuals(cam, focal, pts, problem, huber_delta).ravel()
 
     def cost(x):
         r = res_fn(x)
@@ -203,8 +216,8 @@ def bundle_adjust(
     def lm_step(carry, _):
         x, lam = carry
         r = res_fn(x)
-        cam, pts = unpack(x)
-        diag = _jtj_diag(cam, pts, problem, huber_delta)
+        cam, focal, pts = unpack(x)
+        diag = _jtj_diag(cam, focal, pts, problem, huber_delta)
         diag = jnp.maximum(diag, 1e-6)
         # g = Jᵀ r via vjp; JᵀJ v via jvp + vjp; Marquardt damping lam*diag.
         _, vjp = jax.vjp(res_fn, x)
@@ -236,10 +249,12 @@ def bundle_adjust(
         )
         return (x, lam), None
 
-    x0 = pack(problem.cam_params, problem.points)
-    (x_fin, _), _ = jax.lax.scan(lm_step, (x0, jnp.float32(1e-4)), None, length=iters)
-    cam, pts = unpack(x_fin)
-    r = _residuals(cam, pts, problem, huber_delta)
+    x0 = pack(problem.cam_params, problem.focal_log, problem.points)
+    (x_fin, _), _ = jax.lax.scan(
+        lm_step, (x0, jnp.float32(1e-4)), None, length=iters
+    )
+    cam, focal, pts = unpack(x_fin)
+    r = _residuals(cam, focal, pts, problem, huber_delta)
     n_valid = jnp.maximum(jnp.sum(problem.obs_valid), 1)
     msr = jnp.sum(jnp.sum(r * r, axis=-1)) / n_valid
-    return cam, pts, msr
+    return cam, focal, pts, msr

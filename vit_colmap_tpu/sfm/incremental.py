@@ -432,13 +432,20 @@ class IncrementalMapper:
                 )
         n_obs_pad = _next_pow2(len(obs), 256)
 
-        cam = np.zeros((n_img, 7), np.float32)  # aa + t + log focal scale
+        cam = np.zeros((n_img, 6), np.float32)  # axis-angle + t
         Ks = np.zeros((n_img, 3, 3), np.float32)
+        # Shared per-camera focal parameters.
+        cam_ids_used = sorted(
+            {s.images[iid]["camera_id"] for iid in img_ids}
+        )
+        cam_index = {cid: k for k, cid in enumerate(cam_ids_used)}
+        cam_of_img = np.zeros(n_img, np.int32)
         for iid, k in img_index.items():
             R, t = s.poses[iid]
             cam[k, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
             cam[k, 3:6] = t
             Ks[k] = s.K(iid)
+            cam_of_img[k] = cam_index[s.images[iid]["camera_id"]]
         pts = np.zeros((n_pts_pad, 3), np.float32)
         pts[: len(pt_ids)] = np.stack([s.points[p] for p in pt_ids])
 
@@ -457,48 +464,44 @@ class IncrementalMapper:
         # Refine focal only for cameras WITHOUT a prior focal length
         # (user-provided intrinsics are trusted; fronto-parallel scenes make
         # focal/depth nearly unobservable and refinement drifts).
-        refine_focal = np.zeros(n_img, bool)
+        refine_focal = np.zeros(len(cam_ids_used), bool)
         if self.cfg.ba_refine_focal:
-            for iid, k in img_index.items():
-                cam_rec = s.cameras[s.images[iid]["camera_id"]]
-                refine_focal[k] = not cam_rec.get("prior_focal_length", False)
+            for cid, k in cam_index.items():
+                refine_focal[k] = not s.cameras[cid].get(
+                    "prior_focal_length", False
+                )
         problem = BAProblem(
             cam_params=jnp.asarray(cam),
+            focal_log=jnp.zeros(len(cam_ids_used), jnp.float32),
             points=jnp.asarray(pts),
             obs_cam=jnp.asarray(obs_cam),
             obs_point=jnp.asarray(obs_pt),
             obs_xy=jnp.asarray(obs_xy),
             obs_valid=jnp.asarray(obs_valid),
             K=jnp.asarray(Ks),
+            cam_of_img=jnp.asarray(cam_of_img),
             fixed_cam_mask=jnp.asarray(fixed),
             refine_focal_mask=jnp.asarray(refine_focal),
         )
-        cam_out, pts_out, msr = bundle_adjust(problem, iters=iters)
+        cam_out, focal_out, pts_out, msr = bundle_adjust(problem, iters=iters)
         cam_out = np.asarray(cam_out, np.float64)
+        focal_out = np.asarray(focal_out, np.float64)
         pts_out = np.asarray(pts_out, np.float64)
         for iid, k in img_index.items():
             R = np.asarray(axis_angle_to_matrix(jnp.asarray(cam_out[k, :3])))
             s.poses[iid] = (R, cam_out[k, 3:6])
         for pid, k in pt_index.items():
             s.points[pid] = pts_out[k]
-        # Focal write-back: per-image log scales averaged per shared camera
-        # (COLMAP refines per-camera intrinsics; our images share cameras).
-        if self.cfg.ba_refine_focal:
-            by_cam: dict[int, list[float]] = {}
-            for iid, k in img_index.items():
-                by_cam.setdefault(
-                    s.images[iid]["camera_id"], []
-                ).append(float(cam_out[k, 6]))
-            for cam_id, scales in by_cam.items():
-                scale = float(np.exp(np.mean(scales)))
-                if abs(scale - 1.0) > 1e-6:
-                    params = np.asarray(
-                        s.cameras[cam_id]["params"], np.float64
-                    ).copy()
-                    model = s.cameras[cam_id]["model"]
-                    n_f = 2 if model == "PINHOLE" else 1
-                    params[:n_f] *= scale
-                    s.cameras[cam_id]["params"] = params
+        # Exact per-camera focal write-back (shared-intrinsics parameter).
+        for cid, k in cam_index.items():
+            scale = float(np.exp(focal_out[k]))
+            if abs(scale - 1.0) > 1e-8:
+                params = np.asarray(
+                    s.cameras[cid]["params"], np.float64
+                ).copy()
+                n_f = 2 if s.cameras[cid]["model"] == "PINHOLE" else 1
+                params[:n_f] *= scale
+                s.cameras[cid]["params"] = params
         return float(msr)
 
     def filter_points(self) -> int:
