@@ -53,3 +53,27 @@ def test_train_checkpoint_loads_into_extractor(tmp_path):
     assert k.shape[1] == 6 and len(k) > 0
     assert d.shape == (len(k), 128)
     db.close()
+
+
+@pytest.mark.slow
+def test_training_resume_continues_step_count(tmp_path):
+    from vit_colmap_tpu.training.train import main as train_main
+
+    ckpt = tmp_path / "ckpt"
+    args = [
+        "--synthetic-only", "--synthetic-image-size", "56",
+        "--backbone", "vits14", "--batch-size", "2",
+        "--steps-per-epoch", "2", "--top-k", "16",
+        "--output-dir", str(ckpt), "--log-interval", "1",
+    ]
+    train_main(args + ["--epochs", "1"])
+    import json
+
+    meta1 = json.load(open(ckpt / "meta.json"))
+    assert meta1["epoch"] == 1 and meta1["step"] == 2
+
+    train_main(args + ["--epochs", "2", "--resume", str(ckpt / "latest")])
+    meta2 = json.load(open(ckpt / "meta.json"))
+    assert meta2["epoch"] == 2
+    assert meta2["step"] == 4  # continued, not restarted
+    assert (ckpt / "checkpoint_epoch_0002").exists()
