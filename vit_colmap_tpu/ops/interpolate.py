@@ -51,14 +51,38 @@ def fit_pca(features: jax.Array, out_dim: int = 128):
     """Fit a PCA projection on (N, C) feature rows.
 
     Returns (components (C, out_dim), mean (C,)).  Uses eigh of the covariance
-    (C x C — cheap at C<=1536) rather than SVD of the data matrix.
+    (C x C — cheap at C<=1536) rather than SVD of the data matrix.  Component
+    signs are canonicalized (largest-|entry| coordinate made positive) so the
+    projection is reproducible across runs/backends.
     """
     mean = jnp.mean(features, axis=0)
     x = features - mean
     cov = (x.T @ x) / jnp.maximum(x.shape[0] - 1, 1)
     eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
     comps = eigvecs[:, ::-1][:, :out_dim]
+    pivot = jnp.argmax(jnp.abs(comps), axis=0)
+    signs = jnp.sign(comps[pivot, jnp.arange(comps.shape[1])])
+    comps = comps * jnp.where(signs == 0, 1.0, signs)[None, :]
     return comps, mean
+
+
+def save_pca(path, components: jax.Array, mean: jax.Array) -> None:
+    """Persist a fitted PCA projection as an .npz beside model weights
+    (VERDICT r1 item 6 / SURVEY §7 step 4: order-independent, persistable)."""
+    import numpy as np
+
+    np.savez(
+        str(path),
+        components=np.asarray(components, dtype=np.float32),
+        mean=np.asarray(mean, dtype=np.float32),
+    )
+
+
+def load_pca(path) -> tuple[jax.Array, jax.Array]:
+    import numpy as np
+
+    z = np.load(str(path))
+    return jnp.asarray(z["components"]), jnp.asarray(z["mean"])
 
 
 def apply_pca(features: jax.Array, components: jax.Array, mean: jax.Array) -> jax.Array:

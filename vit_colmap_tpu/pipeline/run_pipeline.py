@@ -68,6 +68,7 @@ class Pipeline:
                 backbone=self.config.extractor.backbone,
                 max_keypoints=self.config.extractor.max_keypoints,
                 image_batch=self.config.extractor.image_batch,
+                pca_path=self.config.extractor.pca_path,
             )
         if etype == "hybrid":
             from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
@@ -77,6 +78,7 @@ class Pipeline:
                 backbone=self.config.extractor.backbone,
                 max_keypoints=self.config.extractor.max_keypoints,
                 image_batch=self.config.extractor.image_batch,
+                pca_path=self.config.extractor.pca_path,
             )
         raise ValueError(f"Unknown extractor type: {etype}")
 
@@ -275,6 +277,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--vit-weights", type=Path, default=None)
     ap.add_argument("--backbone", type=str, default=None)
     ap.add_argument("--max-keypoints", type=int, default=None)
+    ap.add_argument("--pca-path", type=Path, default=None,
+                    help="persisted PCA projection (.npz), fit+saved on first use")
     ap.add_argument("--min-num-matches", type=int, default=None)
     ap.add_argument("--dataset", type=str, default=None)
     ap.add_argument("--scene", type=str, default=None)

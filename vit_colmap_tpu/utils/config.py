@@ -116,6 +116,9 @@ class ExtractorConfig:
     max_keypoints: int = 4096
     image_batch: int = 2  # images per device program (2 + deep pipelining wins)
     dtype: str = "bfloat16"
+    # Persisted PCA projection (.npz) shared across ViT-family extractors so
+    # descriptors reproduce across runs/orderings (fit+saved on first use).
+    pca_path: Optional[str] = None
 
 
 @dataclass
@@ -152,6 +155,8 @@ class Config:
             config.extractor.backbone = args.backbone
         if getattr(args, "max_keypoints", None):
             config.extractor.max_keypoints = int(args.max_keypoints)
+        if getattr(args, "pca_path", None):
+            config.extractor.pca_path = str(args.pca_path)
         if getattr(args, "skip_matching", False):
             config.do_matching = False
         if getattr(args, "skip_reconstruction", False):
