@@ -3,20 +3,30 @@
 The reference gets geometric verification for free inside COLMAP's C++
 ``match_exhaustive`` (SURVEY.md §2.3: batched E/F/H estimation + inlier
 classification feeding the ``two_view_geometries`` table).  Here RANSAC is a
-single fused XLA program per pair batch:
+fused XLA program per pair batch:
 
-* all ``S`` minimal samples are drawn up-front with a counter-based PRNG,
-* all hypotheses are fitted in one batched eigh (``S`` 9x9 problems),
-* inlier counting is one broadcasted error evaluation (``S x K`` residuals),
-* the best model is refit once on its inliers (weighted least squares).
+* minimal samples are drawn **without replacement** (vectorized Floyd
+  shifting — duplicate rows would silently waste hypotheses on
+  rank-deficient systems),
+* hypotheses run in chunks inside a ``lax.while_loop`` with a
+  **confidence-based early exit** (COLMAP-style adaptive iteration count:
+  stop once 1-(1-w^m)^N >= confidence),
+* each chunk fits all its hypotheses in one batched inverse-iteration
+  nullspace solve and counts inliers as one broadcasted error evaluation,
+* the best model is refit once on its inliers (weighted least squares),
+* for calibrated pairs an **essential-matrix RANSAC** runs on normalized
+  coordinates (threshold scaled by mean focal length) alongside F and H,
+  and the config enum follows COLMAP's E/F/H arbitration
+  (min_E_F_inlier_ratio, max_H_inlier_ratio).
 
-No data-dependent control flow: padded correspondences carry a validity
-mask; everything is fixed-shape so the program compiles once per
-(K_max, iters) bucket and vmaps/shards over pairs.
+No data-dependent shapes: padded correspondences carry a validity mask;
+everything compiles once per (K_max, iters) bucket and vmaps/shards over
+pairs.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -25,6 +35,11 @@ import jax.numpy as jnp
 
 from vit_colmap_tpu.database.colmap_db import TWO_VIEW_CONFIG
 from vit_colmap_tpu.sfm import geometry as geom
+
+# COLMAP TwoViewGeometryOptions defaults (two_view_geometry.h).
+MIN_E_F_INLIER_RATIO = 0.95
+MAX_H_INLIER_RATIO = 0.8
+RANSAC_CHUNK = 128
 
 
 class TwoViewResult(NamedTuple):
@@ -40,45 +55,107 @@ class TwoViewResult(NamedTuple):
     tvec: jax.Array  # (3,)
 
 
-def _sample_minimal(key: jax.Array, iters: int, sample_size: int, num_valid: jax.Array, k_max: int):
-    """(iters, sample_size) random indices in [0, num_valid)."""
+def _sample_minimal(
+    key: jax.Array, iters: int, sample_size: int, num_valid: jax.Array, k_max: int
+):
+    """(iters, sample_size) random index sets in [0, num_valid), sampled
+    WITHOUT replacement (Floyd shifting: draw from the remaining range, then
+    shift past previously chosen values in ascending order)."""
+    n = jnp.maximum(num_valid, sample_size).astype(jnp.int32)
     u = jax.random.uniform(key, (iters, sample_size))
-    idx = jnp.floor(u * jnp.maximum(num_valid, 1).astype(jnp.float32)).astype(jnp.int32)
+    idx = jnp.zeros((iters, sample_size), jnp.int32)
+    for t in range(sample_size):
+        r = jnp.floor(u[:, t] * jnp.maximum(n - t, 1).astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        r = jnp.minimum(r, n - t - 1)
+        if t > 0:
+            prev = jnp.sort(idx[:, :t], axis=1)
+            for s in range(t):
+                r = r + (r >= prev[:, s]).astype(jnp.int32)
+        idx = idx.at[:, t].set(r)
     return jnp.clip(idx, 0, k_max - 1)
 
 
-def _ransac_model(fit_fn, err_fn, pts1, pts2, mask, key, iters, sample_size, thresh_sq):
-    """Generic vectorized RANSAC. Returns (model, inlier_mask, num_inliers)."""
+def _ransac_model(
+    fit_fn,
+    err_fn,
+    pts1,
+    pts2,
+    mask,
+    key,
+    iters,
+    sample_size,
+    thresh_sq,
+    confidence: float = 0.999,
+):
+    """Generic vectorized RANSAC with adaptive early exit.
+
+    Returns (model, inlier_mask, num_inliers).  ``iters`` is the hypothesis
+    budget ceiling; the loop stops early once the best inlier ratio w makes
+    1-(1-w^m)^N >= confidence (N = hypotheses done).
+    """
     k_max = pts1.shape[0]
     num_valid = jnp.sum(mask)
-    samples = _sample_minimal(key, iters, sample_size, num_valid, k_max)
-    # NOTE: padded points are compacted to the front by the caller, so index
-    # [0, num_valid) addresses valid correspondences only.
-    sp1 = pts1[samples]  # (S, m, 2)
-    sp2 = pts2[samples]
-    models = fit_fn(sp1, sp2)  # (S, 3, 3)
-    errs = err_fn(models, pts1[None], pts2[None])  # (S, K)
-    inl = (errs <= thresh_sq) & mask[None]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
-    best_inl = inl[best]
+    chunk = min(RANSAC_CHUNK, iters)
+    log1mc = math.log(max(1e-12, 1.0 - confidence))
+
+    def run_chunk(ck):
+        samples = _sample_minimal(ck, chunk, sample_size, num_valid, k_max)
+        models = fit_fn(pts1[samples], pts2[samples])  # (C, 3, 3)
+        errs = err_fn(models, pts1[None], pts2[None])  # (C, K)
+        inl = (errs <= thresh_sq) & mask[None]
+        counts = jnp.sum(inl, axis=-1)
+        b = jnp.argmax(counts)
+        return models[b], counts[b].astype(jnp.int32)
+
+    def cond(state):
+        it_done, best_cnt, _ = state
+        ratio = best_cnt.astype(jnp.float32) / jnp.maximum(num_valid, 1).astype(
+            jnp.float32
+        )
+        p_good = jnp.clip(ratio**sample_size, 1e-9, 1.0 - 1e-9)
+        required = log1mc / jnp.log1p(-p_good)
+        return (it_done < iters) & (it_done.astype(jnp.float32) < required)
+
+    def body(state):
+        it_done, best_cnt, best_model = state
+        m, c = run_chunk(jax.random.fold_in(key, it_done))
+        better = c > best_cnt
+        return (
+            it_done + chunk,
+            jnp.maximum(c, best_cnt),
+            jnp.where(better, m, best_model),
+        )
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.eye(3, dtype=pts1.dtype))
+    _, best_cnt, best_model = jax.lax.while_loop(cond, body, init)
+
+    best_err = err_fn(best_model[None], pts1[None], pts2[None])[0]
+    best_inl = (best_err <= thresh_sq) & mask
     # One weighted refit on the inlier set (local optimization step).
     w = best_inl.astype(jnp.float32)
     enough = jnp.sum(w) >= sample_size
     refit = fit_fn(pts1[None], pts2[None], w[None])[0]
-    model = jnp.where(enough, refit, models[best])
+    model = jnp.where(enough, refit, best_model)
     final_err = err_fn(model[None], pts1[None], pts2[None])[0]
     final_inl = (final_err <= thresh_sq) & mask
     # Keep the better of {refit, best hypothesis}.
-    use_refit = jnp.sum(final_inl) >= counts[best]
-    model = jnp.where(use_refit, model, models[best])
+    use_refit = jnp.sum(final_inl) >= jnp.sum(best_inl)
+    model = jnp.where(use_refit, model, best_model)
     final_inl = jnp.where(use_refit, final_inl, best_inl)
     return model, final_inl, jnp.sum(final_inl).astype(jnp.int32)
 
 
 @partial(
     jax.jit,
-    static_argnames=("iters", "max_error_px", "min_num_inliers", "max_h_ratio"),
+    static_argnames=(
+        "iters",
+        "max_error_px",
+        "min_num_inliers",
+        "max_h_ratio",
+        "confidence",
+    ),
 )
 def estimate_two_view(
     pts1: jax.Array,  # (K, 2) pixel coords, valid entries compacted to front
@@ -91,29 +168,60 @@ def estimate_two_view(
     iters: int = 1024,
     max_error_px: float = 4.0,
     min_num_inliers: int = 15,
-    max_h_ratio: float = 0.8,
+    max_h_ratio: float = MAX_H_INLIER_RATIO,
+    confidence: float = 0.999,
 ) -> TwoViewResult:
-    """COLMAP-style two-view geometry: estimate F and H, classify the
-    configuration (CALIBRATED / UNCALIBRATED / PLANAR_OR_PANORAMIC /
-    DEGENERATE), and return the winning inlier set.
+    """COLMAP-style two-view geometry: estimate E (calibrated), F and H,
+    arbitrate the configuration (CALIBRATED / UNCALIBRATED /
+    PLANAR_OR_PANORAMIC / DEGENERATE), and return the winning inlier set.
 
     Mirrors the behavior the reference reads back from COLMAP's
-    ``two_view_geometries.config`` (``utils/metrics.py:120-132``).
+    ``two_view_geometries.config`` (``utils/metrics.py:120-132``):
+    calibrated pairs that verify with E get CALIBRATED; pairs whose focal
+    priors are absent/bad verify through F as UNCALIBRATED; dominant
+    homographies are PLANAR_OR_PANORAMIC.
     """
     thresh_sq = jnp.float32(max_error_px**2)
-    kf, kh = jax.random.split(key)
+    kf, kh, ke = jax.random.split(key, 3)
 
     F, f_inl, f_cnt = _ransac_model(
-        geom.fit_fundamental, geom.sampson_error, pts1, pts2, mask, kf, iters, 8, thresh_sq
+        geom.fit_fundamental, geom.sampson_error, pts1, pts2, mask, kf,
+        iters, 8, thresh_sq, confidence,
     )
     H, h_inl, h_cnt = _ransac_model(
-        geom.fit_homography, geom.homography_error, pts1, pts2, mask, kh, iters, 4, thresh_sq
+        geom.fit_homography, geom.homography_error, pts1, pts2, mask, kh,
+        iters, 4, thresh_sq, confidence,
     )
 
-    planar = h_cnt.astype(jnp.float32) >= max_h_ratio * f_cnt.astype(jnp.float32)
-    use_h = planar & (h_cnt > f_cnt)
-    inlier_mask = jnp.where(use_h, h_inl, f_inl)
-    num_inliers = jnp.where(use_h, h_cnt, f_cnt)
+    # Essential RANSAC on normalized coordinates; pixel threshold mapped by
+    # the mean focal length (COLMAP does the same for E estimation).
+    def norm_pts(K, pts):
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        return (pts - jnp.stack([cx, cy])) / jnp.stack([fx, fy])
+
+    p1n = norm_pts(K1, pts1)
+    p2n = norm_pts(K2, pts2)
+    focal_mean = (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0
+    thresh_sq_n = thresh_sq / jnp.maximum(focal_mean**2, 1e-12)
+    E_direct, e_inl, e_cnt = _ransac_model(
+        geom.fit_essential, geom.sampson_error, p1n, p2n, mask, ke,
+        iters, 8, thresh_sq_n, confidence,
+    )
+
+    # --- COLMAP config arbitration ------------------------------------
+    e_wins = (
+        calibrated
+        & (e_cnt >= min_num_inliers)
+        & (e_cnt.astype(jnp.float32) >= MIN_E_F_INLIER_RATIO * f_cnt.astype(jnp.float32))
+    )
+    epi_inl = jnp.where(e_wins, e_inl, f_inl)
+    epi_cnt = jnp.where(e_wins, e_cnt, f_cnt)
+
+    planar = h_cnt.astype(jnp.float32) >= max_h_ratio * epi_cnt.astype(jnp.float32)
+    use_h = planar & (h_cnt > epi_cnt)
+    inlier_mask = jnp.where(use_h, h_inl, epi_inl)
+    num_inliers = jnp.where(use_h, h_cnt, epi_cnt)
 
     config = jnp.where(
         num_inliers < min_num_inliers,
@@ -122,24 +230,25 @@ def estimate_two_view(
             planar,
             TWO_VIEW_CONFIG["PLANAR_OR_PANORAMIC"],
             jnp.where(
-                calibrated,
+                e_wins,
                 TWO_VIEW_CONFIG["CALIBRATED"],
                 TWO_VIEW_CONFIG["UNCALIBRATED"],
             ),
         ),
     ).astype(jnp.int32)
 
-    # Essential matrix + relative pose from calibrated coordinates.
-    E = jnp.swapaxes(K2, -1, -2) @ F @ K1
+    # Essential matrix + relative pose. Calibrated pairs use the directly
+    # estimated E; uncalibrated fall back to E = K2ᵀ F K1 projected onto the
+    # essential manifold.
+    E_from_F = geom.project_to_essential(jnp.swapaxes(K2, -1, -2) @ F @ K1)
+    E = jnp.where(e_wins, E_direct, E_from_F)
     E = E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
+    # Report F consistently with the winning model.
+    K2invT = jnp.linalg.inv(jnp.swapaxes(K2, -1, -2))
+    F_from_E = K2invT @ E_direct @ jnp.linalg.inv(K1)
+    F_out = jnp.where(e_wins, F_from_E, F)
+    F_out = F_out / jnp.maximum(jnp.linalg.norm(F_out), 1e-12)
 
-    def norm_pts(K, pts):
-        fx, fy = K[0, 0], K[1, 1]
-        cx, cy = K[0, 2], K[1, 2]
-        return (pts - jnp.stack([cx, cy])) / jnp.stack([fx, fy])
-
-    p1n = norm_pts(K1, pts1)
-    p2n = norm_pts(K2, pts2)
     R, t = geom.recover_pose_from_E(E, p1n, p2n, inlier_mask)
     qvec = geom.rotmat_to_qvec(R)
 
@@ -147,7 +256,7 @@ def estimate_two_view(
         config=config,
         inlier_mask=inlier_mask,
         num_inliers=num_inliers,
-        F=F,
+        F=F_out,
         E=E,
         H=H,
         qvec=qvec,

@@ -249,16 +249,22 @@ def match_exhaustive(
                 mask = np.zeros((VB, k_max), bool)
                 K1 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
                 K2 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
+                calibrated = np.zeros(VB, bool)
                 for b, (i, j) in enumerate(chunk):
                     m = all_matches[(i, j)]
                     pts1[b, : len(m)] = kpts_list[i][m[:, 0]]
                     pts2[b, : len(m)] = kpts_list[j][m[:, 1]]
                     mask[b, : len(m)] = True
-                    K1[b] = camera_matrix(
-                        cameras[images[image_ids[i]]["camera_id"]]
-                    )
-                    K2[b] = camera_matrix(
-                        cameras[images[image_ids[j]]["camera_id"]]
+                    cam1 = cameras[images[image_ids[i]]["camera_id"]]
+                    cam2 = cameras[images[image_ids[j]]["camera_id"]]
+                    K1[b] = camera_matrix(cam1)
+                    K2[b] = camera_matrix(cam2)
+                    # COLMAP: a pair is calibrated only when BOTH cameras
+                    # carry a prior focal length; otherwise verification
+                    # goes through F and the pair is UNCALIBRATED
+                    # (reference reads this enum back in metrics.py:120-132).
+                    calibrated[b] = bool(cam1["prior_focal_length"]) and bool(
+                        cam2["prior_focal_length"]
                     )
                 keys = jax.random.split(jax.random.fold_in(key, start), VB)
                 res = estimate_two_view_batched(
@@ -267,11 +273,12 @@ def match_exhaustive(
                     jnp.asarray(mask),
                     jnp.asarray(K1),
                     jnp.asarray(K2),
-                    jnp.ones(VB, bool),
+                    jnp.asarray(calibrated),
                     keys,
                     iters=config.ransac_iters,
                     max_error_px=config.ransac_max_error_px,
                     min_num_inliers=config.min_num_inliers,
+                    confidence=config.ransac_confidence,
                 )
                 configs = np.asarray(res.config)
                 inl_masks = np.asarray(res.inlier_mask)

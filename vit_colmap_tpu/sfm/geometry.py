@@ -153,17 +153,49 @@ def fit_homography(pts1: jax.Array, pts2: jax.Array, weights: jax.Array | None =
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) > 1e-8, H[..., 2:3, 2:3], 1e-8)
 
 
+def project_to_essential(F: jax.Array, iters: int = 12) -> jax.Array:
+    """Closest essential matrix (singular values (s, s, 0)) to batched
+    near-rank-2 F, SVD-free (batched tiny SVDs are pathologically slow on
+    TPU; see :func:`_smallest_eigvec_sym`).
+
+    Right singular basis: nullvector v3 by inverse iteration, dominant v1 by
+    deflated power iteration, v2 = v3 x v1.  When the two nonzero singular
+    values are close, power-iteration misconvergence within span(v1, v2) is
+    harmless — the projection error scales with (s1 - s2).
+    """
+    A = jnp.einsum("...ji,...jk->...ik", F, F)  # FᵀF
+    v3 = _smallest_eigvec_sym(A, iters=8)
+    v = jnp.broadcast_to(
+        jnp.array([0.577350, 0.577350, 0.577350], dtype=F.dtype), A.shape[:-1]
+    )
+    v = v - jnp.sum(v * v3, -1, keepdims=True) * v3
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", A, v)
+        v = v - jnp.sum(v * v3, -1, keepdims=True) * v3
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    v1 = v
+    v2 = jnp.cross(v3, v1)
+    Fv1 = jnp.einsum("...ij,...j->...i", F, v1)
+    Fv2 = jnp.einsum("...ij,...j->...i", F, v2)
+    s1 = jnp.linalg.norm(Fv1, axis=-1)
+    s2 = jnp.linalg.norm(Fv2, axis=-1)
+    u1 = Fv1 / jnp.maximum(s1[..., None], 1e-12)
+    u2 = Fv2 - jnp.sum(Fv2 * u1, -1, keepdims=True) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-12)
+    s = ((s1 + s2) / 2.0)[..., None, None]
+    return s * (
+        u1[..., :, None] * v1[..., None, :] + u2[..., :, None] * v2[..., None, :]
+    )
+
+
 def fit_essential(pts1n: jax.Array, pts2n: jax.Array, weights: jax.Array | None = None) -> jax.Array:
     """8-point essential matrix on *normalized* (K⁻¹) coordinates, batched.
 
     Projects the linear solution onto the essential manifold
-    (singular values (s, s, 0)).
+    (singular values (s, s, 0)) — SVD-free for TPU.
     """
     F = fit_fundamental(pts1n, pts2n, weights)
-    U, S, Vt = jnp.linalg.svd(F)
-    s = (S[..., 0] + S[..., 1]) / 2.0
-    S_e = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
-    return U @ (S_e[..., None] * Vt)
+    return project_to_essential(F)
 
 
 def sampson_error(F: jax.Array, pts1: jax.Array, pts2: jax.Array) -> jax.Array:
