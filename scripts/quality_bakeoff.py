@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Extractor quality bake-off: sift vs vit vs trainable_vit (± training).
+
+The reference's headline result is a quality comparison between SIFT and ViT
+features on HPatches/DTU (``/root/reference/README.md:15-23``, metric
+definitions ``/root/reference/vit_colmap/utils/metrics.py:17-114``).  No
+datasets exist in this environment, so this driver measures the same metric
+set on in-repo synthetic benchmarks:
+
+1. **HPatches protocol** — MMA@1/3/5 px, homography accuracy, avg matches on
+   a generated ``i_*``/``v_*`` tree (viewpoint warps + illumination changes).
+2. **Reconstruction protocol** — registered images, 3D points, track length,
+   reprojection error, inlier ratio on a rendered multi-view scene via the
+   full pipeline (extract -> match -> verify -> incremental SfM).
+3. Optionally **trains** the trainable head on the synthetic tree and
+   re-evaluates ("after training") to show the learning loop moves the
+   needle.
+
+Outputs: {work}/QUALITY.json (machine-readable) and {work}/QUALITY.md.
+
+Usage:
+  python scripts/quality_bakeoff.py --work-dir results/quality \
+      --extractors sift,vit,trainable_vit --train
+  python scripts/quality_bakeoff.py --fast   # CPU-sized smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from dataclasses import asdict
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from scripts.eval_hpatches import evaluate_dataset, make_extract_fn  # noqa: E402
+
+
+def build_data(work: Path, args) -> tuple[Path, Path, list[float]]:
+    from vit_colmap_tpu.dataloader.synthetic_benchmark import (
+        generate_synthetic_hpatches,
+        render_multiview_scene,
+    )
+
+    hp_dir = work / "hpatches"
+    if not hp_dir.exists():
+        print(f"Generating synthetic HPatches tree at {hp_dir} ...")
+        generate_synthetic_hpatches(
+            hp_dir, n_illum=args.n_illum, n_view=args.n_view,
+            n_img=args.n_img, size=(args.height, args.width), seed=0,
+        )
+    scene_dir = work / "scene" / "images"
+    cam_file = work / "scene" / "camera.json"
+    if not scene_dir.exists():
+        print(f"Rendering multi-view scene at {scene_dir} ...")
+        _, K = render_multiview_scene(
+            scene_dir, n_cams=args.recon_cams,
+            size=(args.height, args.width), focal=args.focal, seed=1,
+        )
+        cam_file.write_text(json.dumps({
+            "model": "PINHOLE",
+            "params": [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+        }))
+    cam = json.loads(cam_file.read_text())
+    return hp_dir, scene_dir, cam["params"]
+
+
+def eval_hpatches(hp_dir: Path, extractor: str, args, weights=None) -> dict:
+    from vit_colmap_tpu.dataloader.hpatches_dataset import HPatchesDataset
+
+    ds = HPatchesDataset(
+        hp_dir, split="all", pair_mode="reference_only",
+        target_height=args.height, target_width=args.width,
+    )
+    fn = make_extract_fn(
+        extractor, args.backbone, weights, args.max_keypoints,
+    )
+    result, pps = evaluate_dataset(ds, fn, args.max_pairs)
+    print(f"[{extractor}] {result.summary()}")
+    return {
+        "pairs": len(result.pairs),
+        "avg_matches": result.avg_matches,
+        "mma": {str(k): v for k, v in result.mma.items()},
+        "homography_accuracy": {
+            str(k): v for k, v in result.homography_accuracy.items()
+        },
+        "pairs_per_sec": pps,
+    }
+
+
+def run_reconstruction(scene_dir: Path, extractor: str, args, cam_params,
+                       weights=None) -> dict:
+    from vit_colmap_tpu.pipeline.run_pipeline import Pipeline
+    from vit_colmap_tpu.utils.config import Config
+    from vit_colmap_tpu.utils.metrics import MetricsExtractor
+
+    out = scene_dir.parent / f"out_{extractor}{'_trained' if weights else ''}"
+    db_path = out / "db.db"
+    if db_path.exists():
+        db_path.unlink()
+    config = Config()
+    config.extractor.extractor_type = extractor
+    config.extractor.backbone = args.backbone
+    config.extractor.max_keypoints = args.max_keypoints
+    if weights:
+        config.extractor.vit_weights_path = weights
+    config.camera.model = "PINHOLE"
+    config.camera.params = [float(p) for p in cam_params]
+    t0 = time.perf_counter()
+    pipe = Pipeline(config)
+    pipe.run(scene_dir, out, db_path)
+    wall = time.perf_counter() - t0
+    me = MetricsExtractor(db_path, out)
+    res = me.extract_all_metrics(
+        "synthetic", "scene", extractor,
+        reconstructions=pipe.reconstructions or None,
+    )
+    d = {
+        "features": asdict(res.features),
+        "matching": asdict(res.matching),
+        "reconstruction": asdict(res.reconstruction) if res.reconstruction else None,
+        "wall_clock_s": wall,
+    }
+    if d["reconstruction"]:
+        d["reconstruction"].pop("reconstructions", None)
+    print(f"[{extractor}] recon: {wall:.1f}s, "
+          f"registered={res.reconstruction.registered_images if res.reconstruction else 0}, "
+          f"points={res.reconstruction.total_3d_points if res.reconstruction else 0}")
+    return d
+
+
+def train_heads(hp_dir: Path, work: Path, args) -> str:
+    """Train the trainable head on the synthetic tree; returns best ckpt."""
+    from vit_colmap_tpu.training.train import main as train_main
+
+    ckpt_dir = work / "checkpoints"
+    # top_k invariant points must fit the token grid (H/14 * W/14).
+    top_k = min(256, (args.height // 14) * (args.width // 14) // 2)
+    argv = [
+        "--data-dir", str(hp_dir),
+        "--pair-mode", "all_pairs",
+        "--target-height", str(args.height),
+        "--target-width", str(args.width),
+        "--backbone", args.backbone,
+        "--epochs", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--steps-per-epoch", str(args.steps_per_epoch),
+        "--lr", "3e-4",
+        "--top-k", str(top_k),
+        "--output-dir", str(ckpt_dir),
+        "--synthetic-ratio", "0.3",
+        "--seed", "0",
+    ]
+    print(f"Training trainable head: {' '.join(argv)}")
+    train_main(argv)
+    best = ckpt_dir / "best_model"
+    return str(best if best.exists() else ckpt_dir / "latest")
+
+
+def to_markdown(results: dict) -> str:
+    lines = [
+        "# Extractor quality bake-off (synthetic benchmarks)",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d %H:%M')} on "
+        f"{results['meta']['device']}; backbone {results['meta']['backbone']} "
+        f"({results['meta']['weights_note']}).",
+        "",
+        "## HPatches protocol (MMA / homography accuracy)",
+        "",
+        "| extractor | pairs | avg matches | MMA@1 | MMA@3 | MMA@5 | "
+        "H-acc@1 | H-acc@3 | H-acc@5 |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results["hpatches"].items():
+        m, h = r["mma"], r["homography_accuracy"]
+        lines.append(
+            f"| {name} | {r['pairs']} | {r['avg_matches']:.0f} | "
+            f"{m['1.0']:.3f} | {m['3.0']:.3f} | {m['5.0']:.3f} | "
+            f"{h['1.0']:.3f} | {h['3.0']:.3f} | {h['5.0']:.3f} |"
+        )
+    lines += [
+        "",
+        "## Reconstruction protocol (full pipeline on rendered scene)",
+        "",
+        "| extractor | reg. images | 3D points | track len | reproj err | "
+        "inlier ratio | verified pairs | wall clock |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results["reconstruction"].items():
+        rec = r.get("reconstruction") or {}
+        mat = r["matching"]
+        lines.append(
+            f"| {name} | {rec.get('registered_images', 0)} | "
+            f"{rec.get('total_3d_points', 0)} | "
+            f"{rec.get('avg_track_length', 0):.2f} | "
+            f"{rec.get('avg_reprojection_error', 0):.2f}px | "
+            f"{mat['inlier_ratio']:.3f} | {mat['verified_pairs']} | "
+            f"{r['wall_clock_s']:.1f}s |"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work-dir", type=Path, default=Path("results/quality"))
+    ap.add_argument("--extractors", default="sift,vit,trainable_vit")
+    ap.add_argument("--backbone", default="vitb14")
+    ap.add_argument("--train", action="store_true",
+                    help="train the trainable head and re-evaluate")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--steps-per-epoch", type=int, default=25)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--focal", type=float, default=600.0)
+    ap.add_argument("--n-illum", type=int, default=4)
+    ap.add_argument("--n-view", type=int, default=6)
+    ap.add_argument("--n-img", type=int, default=6)
+    ap.add_argument("--recon-cams", type=int, default=8)
+    ap.add_argument("--max-keypoints", type=int, default=2048)
+    ap.add_argument("--max-pairs", type=int, default=None)
+    ap.add_argument("--skip-recon", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="tiny CPU-sized smoke configuration")
+    args = ap.parse_args()
+
+    if args.fast:
+        args.height, args.width = 126, 168
+        args.n_illum, args.n_view, args.n_img = 1, 1, 3
+        args.recon_cams = 4
+        args.max_keypoints = 256
+        args.backbone = "vits14"
+        args.epochs, args.steps_per_epoch, args.batch_size = 1, 4, 1
+
+    import jax
+
+    work = args.work_dir
+    work.mkdir(parents=True, exist_ok=True)
+    hp_dir, scene_dir, cam_params = build_data(work, args)
+
+    results: dict = {
+        "meta": {
+            "device": str(jax.devices()[0]),
+            "backbone": args.backbone,
+            "weights_note": "random-init backbone (no pretrained weights in env)",
+            "image_size": [args.height, args.width],
+            "max_keypoints": args.max_keypoints,
+        },
+        "hpatches": {},
+        "reconstruction": {},
+    }
+
+    extractors = [e for e in args.extractors.split(",") if e]
+    for ex in extractors:
+        results["hpatches"][ex] = eval_hpatches(hp_dir, ex, args)
+        if not args.skip_recon:
+            results["reconstruction"][ex] = run_reconstruction(
+                scene_dir, ex, args, cam_params
+            )
+
+    if args.train:
+        weights = train_heads(hp_dir, work, args)
+        results["hpatches"]["trainable_vit_trained"] = eval_hpatches(
+            hp_dir, "trainable_vit", args, weights=weights
+        )
+        if not args.skip_recon:
+            results["reconstruction"]["trainable_vit_trained"] = (
+                run_reconstruction(scene_dir, "trainable_vit", args,
+                                   cam_params, weights=weights)
+            )
+
+    (work / "QUALITY.json").write_text(json.dumps(results, indent=2))
+    (work / "QUALITY.md").write_text(to_markdown(results))
+    print(f"\nWrote {work / 'QUALITY.json'} and {work / 'QUALITY.md'}")
+    print(to_markdown(results))
+
+
+if __name__ == "__main__":
+    main()
