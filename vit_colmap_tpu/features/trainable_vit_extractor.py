@@ -51,18 +51,42 @@ class TrainableViTExtractor(BaseExtractor):
         self.detection_threshold = detection_threshold
         self.image_batch = image_batch
 
+        # Reference torch checkpoints (.pt/.pth) carry eval-mode BatchNorms;
+        # those fold into the convs, so the flax heads are built norm-free
+        # for math-identical inference (models/convert.py).
+        is_torch_ckpt = bool(weights_path) and str(weights_path).endswith(
+            (".pt", ".pth")
+        )
         self.model, self.cfg, self.bcfg = make_feature_model(
-            backbone, dtype=dtype
+            backbone, dtype=dtype, norm="none" if is_torch_ckpt else "group"
         )
         key = jax.random.key(seed)
         self.params = self.model.init(key, jnp.zeros((1, 224, 224, 3)))
-        if weights_path:
+        if is_torch_ckpt:
+            self._load_torch_checkpoint(weights_path)
+        elif weights_path:
             self._load_checkpoint(weights_path)
         else:
             logger.warning(
                 "No checkpoint provided; trainable heads are randomly initialized"
             )
         self._forward = None
+
+    def _load_torch_checkpoint(self, path: str) -> None:
+        """Load a reference-trained torch ``ViTFeatureModel`` checkpoint
+        (any of the 3 layouts the reference tolerates,
+        ``trainable_vit_extractor.py:102-109``); also restores the backbone
+        when the checkpoint embeds it under ``backbone.*``."""
+        from vit_colmap_tpu.models.convert import load_torch_feature_model
+
+        heads, backbone = load_torch_feature_model(path, self.bcfg)
+        p = dict(self.params["params"])
+        p["heads"] = heads["params"]
+        if backbone is not None:
+            p["backbone"] = backbone["params"]
+            logger.info("Restored embedded DINOv2 backbone from %s", path)
+        self.params = {"params": p}
+        logger.info("Loaded torch trained-head checkpoint from %s", path)
 
     def _load_checkpoint(self, path: str) -> None:
         """Accepts an orbax checkpoint dir (train-state or raw params) —

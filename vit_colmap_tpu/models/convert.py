@@ -93,3 +93,107 @@ def load_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return torch_dinov2_to_flax(sd, cfg)
+
+# --------------------------------------------------------------------------
+# Reference trained-head (.pt ViTFeatureModel) -> flax FeatureHeads
+# --------------------------------------------------------------------------
+
+def _fold_bn(conv_w: np.ndarray, conv_b: np.ndarray, bn: dict, eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm into the preceding conv.
+
+    y = gamma * (conv(x) - mu) / sqrt(var + eps) + beta  ==  conv'(x) with
+    w' = w * s, b' = (b - mu) * s + beta, s = gamma / sqrt(var + eps).
+    conv_w is in flax layout (kh, kw, in, out) — scale applies to the out
+    axis.  Makes the reference's BatchNorm-ed heads loadable into the
+    norm-free ("none") flax head variant with identical inference math.
+    """
+    s = bn["weight"] / np.sqrt(bn["running_var"] + eps)
+    return conv_w * s, (conv_b - bn["running_mean"]) * s + bn["bias"]
+
+
+def torch_feature_heads_to_flax(
+    state_dict: Mapping[str, Any], descriptor_dim: int = 128
+) -> dict:
+    """Map a reference ``ViTFeatureModel`` torch state_dict (heads only) into
+    the flax ``FeatureHeads`` param tree (norm="none", BatchNorms folded).
+
+    Reference layout (``/root/reference/vit_colmap/model/vit_feature_model.py``):
+    ``upsampler.{0,1}.{deconv,conv,bn}``, ``trunk.{0 conv,1 bn}``,
+    ``keypoint_head.{0 conv,1 bn,3 conv}``,
+    ``descriptor_head.{0 conv,1 bn,3 conv}``.  Accepts keys with or without a
+    leading ``model.`` / ``_orig_mod.`` (torch.compile) prefix.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "_orig_mod.", "module."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = _t(v)
+
+    def conv(prefix):  # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+        return sd[f"{prefix}.weight"].transpose(2, 3, 1, 0), sd[f"{prefix}.bias"]
+
+    def deconv(prefix):  # torch (in, out, kh, kw) -> flax flipped (kh, kw, in, out)
+        w = sd[f"{prefix}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+        return w, sd[f"{prefix}.bias"]
+
+    def bn(prefix):
+        return {
+            "weight": sd[f"{prefix}.weight"],
+            "bias": sd[f"{prefix}.bias"],
+            "running_mean": sd[f"{prefix}.running_mean"],
+            "running_var": sd[f"{prefix}.running_var"],
+        }
+
+    p: dict[str, Any] = {}
+    for i, name in ((0, "up1"), (1, "up2")):
+        dw, db = deconv(f"upsampler.{i}.deconv")
+        cw, cb = conv(f"upsampler.{i}.conv")
+        cw, cb = _fold_bn(cw, cb, bn(f"upsampler.{i}.bn"))
+        p[name] = {
+            "ConvTranspose_0": {"kernel": dw, "bias": db},
+            "Conv_0": {"kernel": cw, "bias": cb},
+        }
+    tw, tb = conv("trunk.0")
+    tw, tb = _fold_bn(tw, tb, bn("trunk.1"))
+    p["trunk"] = {"kernel": tw, "bias": tb}
+    for torch_name, k1, k2 in (
+        ("keypoint_head", "kp1", "kp2"),
+        ("descriptor_head", "desc1", "desc2"),
+    ):
+        w1, b1 = conv(f"{torch_name}.0")
+        w1, b1 = _fold_bn(w1, b1, bn(f"{torch_name}.1"))
+        w2, b2 = conv(f"{torch_name}.3")
+        p[k1] = {"kernel": w1, "bias": b1}
+        p[k2] = {"kernel": w2, "bias": b2}
+    return {"params": p}
+
+
+def load_torch_feature_model(path: str, backbone_cfg: ViTConfig | None = None):
+    """Load a reference trained ``.pt`` checkpoint (any of the 3 layouts the
+    reference tolerates: ``model_state_dict`` / ``state_dict`` / raw —
+    ``trainable_vit_extractor.py:102-109``).
+
+    Returns (heads_params, backbone_params | None): backbone params are
+    converted too when the checkpoint contains the frozen DINOv2 under
+    ``backbone.*`` keys and a config is supplied.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        sd = ckpt["model_state_dict"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    else:
+        sd = ckpt
+    heads = torch_feature_heads_to_flax(
+        {k: v for k, v in sd.items() if not k.startswith("backbone.")}
+    )
+    backbone = None
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    if backbone_sd and backbone_cfg is not None:
+        backbone = torch_dinov2_to_flax(backbone_sd, backbone_cfg)
+    return heads, backbone

@@ -35,6 +35,11 @@ class FeatureModelConfig:
     hidden: int = 512
     trunk_dim: int = 256
     dtype: Any = jnp.bfloat16
+    # "group": GroupNorm in upsample blocks (native training config).
+    # "none": no norm — used when loading reference torch checkpoints whose
+    # eval-mode BatchNorms are folded into the preceding convs
+    # (models/convert.py: fold_batchnorm), making inference math-identical.
+    norm: str = "group"
 
 
 class UpsampleBlock(nn.Module):
@@ -43,6 +48,7 @@ class UpsampleBlock(nn.Module):
 
     out_ch: int
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
@@ -51,8 +57,9 @@ class UpsampleBlock(nn.Module):
             dtype=self.dtype,
         )(x)
         x = nn.Conv(self.out_ch, kernel_size=(3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x.astype(jnp.float32))
-        return nn.gelu(x.astype(self.dtype))
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x.astype(jnp.float32))
+        return nn.gelu(x.astype(self.dtype), approximate=False)
 
 
 class FeatureHeads(nn.Module):
@@ -71,29 +78,33 @@ class FeatureHeads(nn.Module):
         c = self.cfg
         B, gh, gw, _ = feats.shape
         x = feats.astype(c.dtype)
-        x = UpsampleBlock(c.hidden, c.dtype, name="up1")(x)
-        x = UpsampleBlock(c.hidden, c.dtype, name="up2")(x)
+        x = UpsampleBlock(c.hidden, c.dtype, c.norm, name="up1")(x)
+        x = UpsampleBlock(c.hidden, c.dtype, c.norm, name="up2")(x)
 
         # Exact quarter-resolution target (reference resizes bilinearly to
         # H/4 x W/4, ``vit_feature_model.py:199-212``). 14/4 = 3.5: two 2x
         # upsamples give 4x grid = 56/14 -> resize 4*gh -> 3.5*gh.
         h4, w4 = gh * 14 // 4, gw * 14 // 4
+        # antialias=False matches torch F.interpolate (the reference's
+        # resize, align_corners=False) — jax antialiases downscales by
+        # default, which breaks checkpoint parity.
         x = jax.image.resize(
-            x.astype(jnp.float32), (B, h4, w4, x.shape[-1]), "bilinear"
+            x.astype(jnp.float32), (B, h4, w4, x.shape[-1]), "bilinear",
+            antialias=False,
         ).astype(c.dtype)
 
         trunk = nn.Conv(c.trunk_dim, (3, 3), padding="SAME", dtype=c.dtype, name="trunk")(x)
-        trunk = nn.gelu(trunk)
+        trunk = nn.gelu(trunk, approximate=False)
 
         kp = nn.Conv(64, (3, 3), padding="SAME", dtype=c.dtype, name="kp1")(trunk)
-        kp = nn.gelu(kp)
+        kp = nn.gelu(kp, approximate=False)
         kp = nn.Conv(4, (1, 1), dtype=jnp.float32, name="kp2")(kp.astype(jnp.float32))
         score_logits = kp[..., 0]
         offsets = jnp.tanh(kp[..., 1:3]) * 0.5  # sub-cell offsets in [-.5, .5]
         orientation = jnp.tanh(kp[..., 3]) * jnp.pi
 
         ds = nn.Conv(128, (3, 3), padding="SAME", dtype=c.dtype, name="desc1")(trunk)
-        ds = nn.gelu(ds)
+        ds = nn.gelu(ds, approximate=False)
         ds = nn.Conv(c.descriptor_dim, (1, 1), dtype=jnp.float32, name="desc2")(
             ds.astype(jnp.float32)
         )
@@ -139,10 +150,11 @@ def make_feature_model(
     backbone: str = "vitb14",
     descriptor_dim: int = 128,
     dtype=jnp.bfloat16,
+    norm: str = "group",
 ) -> tuple[ViTFeatureModel, FeatureModelConfig, ViTConfig]:
     _, bcfg = make_backbone(backbone, dtype=dtype)
     cfg = FeatureModelConfig(
-        backbone=backbone, descriptor_dim=descriptor_dim, dtype=dtype
+        backbone=backbone, descriptor_dim=descriptor_dim, dtype=dtype, norm=norm
     )
     return ViTFeatureModel(cfg, bcfg), cfg, bcfg
 
