@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Visualize matches stored in a COLMAP database.
+"""Visualize matched keypoints between two images with inlier/outlier
+distinction.
 
-Parity with the reference ``scripts/visualize_matches.py``: reads keypoints,
-raw matches and two-view inliers from the DB, classifies inlier (green) vs
-outlier (red) match lines, draws keypoints with optional orientation arrows,
-and offers a ``--list-matches`` explorer for pair statistics.
+Full option-surface parity with the reference ``scripts/visualize_matches.py``
+(879 lines): image lookup by name or 0-based index, inlier (green) vs outlier
+(red) match lines read from ``two_view_geometries``, ``--filter
+all|inliers|outliers``, all-keypoint overlays with top-K score labels,
+orientation arrows with a scale factor, configurable colors/sizes/line
+widths, match subsampling with a seed, ``--list-images`` / ``--list-matches``
+database explorers, and save-to-file or interactive display.  Adds
+``--all-pairs`` batch rendering on top.
 """
 
 from __future__ import annotations
@@ -18,37 +23,170 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def list_matches(db) -> None:
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Visualize matches with inlier/outlier distinction"
+    )
+    p.add_argument("--database", "--db", dest="database", type=Path,
+                   required=True, help="Path to COLMAP database")
+    p.add_argument("--image-dir", "--images", dest="image_dir", type=Path,
+                   default=None, help="Directory containing images")
+    p.add_argument("--image1", type=str, default=None,
+                   help="First image name or 0-based index")
+    p.add_argument("--image2", type=str, default=None,
+                   help="Second image name or 0-based index")
+    p.add_argument("--output", type=Path, default=None,
+                   help="Save path (default: display interactively)")
+    p.add_argument("--all-pairs", action="store_true",
+                   help="Render every matched pair into --output-dir")
+    p.add_argument("--output-dir", type=Path, default=Path("match_viz"))
+    p.add_argument("--max-matches", type=int, default=None,
+                   help="Max match lines to draw (random sample)")
+    p.add_argument("--filter", choices=["all", "inliers", "outliers"],
+                   default="all")
+    p.add_argument("--show-all-keypoints", action="store_true",
+                   help="Draw all keypoints, not just matched ones")
+    p.add_argument("--show-scores", action="store_true",
+                   help="Label keypoint scores (6-col keypoints only)")
+    p.add_argument("--max-score-labels", type=int, default=100)
+    p.add_argument("--show-orientation", action="store_true")
+    p.add_argument("--orientation-scale", type=float, default=10.0)
+    p.add_argument("--inlier-color", default="green")
+    p.add_argument("--outlier-color", default="red")
+    p.add_argument("--keypoint-color", default="deepskyblue")
+    p.add_argument("--keypoint-size", type=float, default=3.0)
+    p.add_argument("--line-width", type=float, default=0.5)
+    p.add_argument("--dpi", type=int, default=150)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--list-images", action="store_true",
+                   help="List database images and exit")
+    p.add_argument("--list-matches", action="store_true",
+                   help="List matched pairs with statistics and exit")
+    return p.parse_args()
+
+
+def get_image_by_name_or_index(images: dict[int, dict], key: str) -> int:
+    """Resolve an image spec (exact name, or 0-based index into the sorted
+    image list) to an image_id — reference ``visualize_matches.py:165-236``."""
+    by_name = {info["name"]: iid for iid, info in images.items()}
+    if key in by_name:
+        return by_name[key]
+    try:
+        idx = int(key)
+    except ValueError:
+        raise SystemExit(
+            f"Image {key!r} not found. Available: {sorted(by_name)[:20]}"
+        )
+    ordered = sorted(images.keys(), key=lambda i: images[i]["name"])
+    if not 0 <= idx < len(ordered):
+        raise SystemExit(f"Index {idx} out of range (0..{len(ordered) - 1})")
+    return ordered[idx]
+
+
+def list_images_in_database(db) -> None:
     images = db.read_images()
-    print(f"{'pair':<30}{'raw':>8}{'inliers':>10}{'config':>8}")
+    print(f"{'idx':>4} {'image_id':>9} {'name':<40} {'keypoints':>10}")
+    for idx, iid in enumerate(sorted(images, key=lambda i: images[i]["name"])):
+        k = db.read_keypoints(iid)
+        print(f"{idx:>4} {iid:>9} {images[iid]['name']:<40} "
+              f"{0 if k is None else len(k):>10}")
+
+
+def list_matches_in_database(db) -> None:
+    images = db.read_images()
+    rows = []
     for (i, j), m in sorted(db.read_all_matches().items()):
         g = db.read_two_view_geometry(i, j)
         n_inl = len(g["inlier_matches"]) if g else 0
         cfg = g["config"] if g else "-"
-        name = f"{images[i]['name']} - {images[j]['name']}"
-        print(f"{name:<30}{len(m):>8}{n_inl:>10}{cfg!s:>8}")
+        rows.append((images[i]["name"], images[j]["name"], len(m), n_inl, cfg))
+    print(f"{'image 1':<28}{'image 2':<28}{'raw':>7}{'inliers':>9}"
+          f"{'ratio':>8}{'config':>8}")
+    for n1, n2, raw, inl, cfg in rows:
+        ratio = inl / raw if raw else 0.0
+        print(f"{n1:<28}{n2:<28}{raw:>7}{inl:>9}{ratio:>8.2f}{cfg!s:>8}")
+    if rows:
+        raws = [r[2] for r in rows]
+        inls = [r[3] for r in rows]
+        print(f"\n{len(rows)} matched pairs | raw matches "
+              f"min/med/max {min(raws)}/{int(np.median(raws))}/{max(raws)} | "
+              f"total inliers {sum(inls)}")
 
 
-def draw_pair(db, image_dir: Path, id1: int, id2: int, out_path: Path,
-              max_lines: int = 200, draw_orientations: bool = False) -> None:
+def classify_matches(matches: np.ndarray, geometry) -> np.ndarray:
+    """Boolean inlier flag per raw match row."""
+    if geometry is None or len(geometry.get("inlier_matches", ())) == 0:
+        return np.zeros(len(matches), bool)
+    inlier_set = {tuple(r) for r in np.asarray(geometry["inlier_matches"])}
+    return np.array([tuple(r) in inlier_set for r in matches], bool)
+
+
+def draw_keypoint_overlays(ax, kpts, x_off, args):
+    """All-keypoint markers + optional score labels + orientation arrows."""
+    if kpts is None or len(kpts) == 0:
+        return
+    ax.scatter(kpts[:, 0] + x_off, kpts[:, 1], s=args.keypoint_size,
+               c=args.keypoint_color, marker="o", linewidths=0, alpha=0.7)
+    has_cols = kpts.shape[1] >= 6
+    if args.show_orientation and kpts.shape[1] >= 4:
+        ang = kpts[:, 3]
+        ax.quiver(
+            kpts[:, 0] + x_off, kpts[:, 1],
+            np.cos(ang) * args.orientation_scale,
+            np.sin(ang) * args.orientation_scale,
+            color=args.keypoint_color, angles="xy", scale_units="xy",
+            scale=1, width=0.002, alpha=0.8,
+        )
+    if args.show_scores and has_cols:
+        scores = kpts[:, 4]
+        top = np.argsort(-scores)[: args.max_score_labels]
+        for i in top:
+            ax.annotate(f"{scores[i]:.2f}",
+                        (kpts[i, 0] + x_off, kpts[i, 1]),
+                        fontsize=4, color="yellow")
+
+
+def visualize_pair(db, image_dir: Path, id1: int, id2: int, args,
+                   out_path: Path | None):
     import cv2
+    import matplotlib
+
+    if out_path is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
 
     images = db.read_images()
-    img1 = cv2.imread(str(image_dir / images[id1]["name"]))
-    img2 = cv2.imread(str(image_dir / images[id2]["name"]))
+    name1, name2 = images[id1]["name"], images[id2]["name"]
+    img1 = cv2.imread(str(image_dir / name1))
+    img2 = cv2.imread(str(image_dir / name2))
     if img1 is None or img2 is None:
-        print("Could not read images from", image_dir)
-        return
+        raise SystemExit(f"Could not read {name1} / {name2} in {image_dir}")
+    img1 = cv2.cvtColor(img1, cv2.COLOR_BGR2RGB)
+    img2 = cv2.cvtColor(img2, cv2.COLOR_BGR2RGB)
+
     k1 = db.read_keypoints(id1)
     k2 = db.read_keypoints(id2)
-    matches = db.read_matches(id1, id2)
-    if matches is None:
-        print("No matches for this pair")
-        return
-    g = db.read_two_view_geometry(id1, id2)
-    inlier_set = (
-        {tuple(r) for r in g["inlier_matches"]} if g is not None else set()
-    )
+    swap = id1 > id2
+    lo, hi = (id2, id1) if swap else (id1, id2)
+    matches = db.read_matches(lo, hi)
+    if matches is None or len(matches) == 0:
+        raise SystemExit(f"No matches between {name1} and {name2}")
+    matches = np.asarray(matches)
+    if swap:
+        matches = matches[:, ::-1]
+    geometry = db.read_two_view_geometry(lo, hi)
+    inlier_flags = classify_matches(matches[:, ::-1] if swap else matches,
+                                    geometry)
+
+    if args.filter == "inliers":
+        matches, inlier_flags = matches[inlier_flags], inlier_flags[inlier_flags]
+    elif args.filter == "outliers":
+        matches, inlier_flags = matches[~inlier_flags], inlier_flags[~inlier_flags]
+    n_total = len(matches)
+    if args.max_matches is not None and n_total > args.max_matches:
+        rng = np.random.default_rng(args.seed)
+        sel = rng.choice(n_total, args.max_matches, replace=False)
+        matches, inlier_flags = matches[sel], inlier_flags[sel]
 
     h = max(img1.shape[0], img2.shape[0])
     canvas = np.zeros((h, img1.shape[1] + img2.shape[1], 3), np.uint8)
@@ -56,61 +194,74 @@ def draw_pair(db, image_dir: Path, id1: int, id2: int, out_path: Path,
     canvas[: img2.shape[0], img1.shape[1]:] = img2
     off = img1.shape[1]
 
-    for kp, img_off in ((k1, 0), (k2, off)):
-        for row in kp:
-            x, y = int(row[0]) + img_off, int(row[1])
-            cv2.circle(canvas, (x, y), 2, (255, 200, 0), -1)
-            if draw_orientations and kp.shape[1] >= 4:
-                ang = float(row[3])
-                cv2.line(
-                    canvas, (x, y),
-                    (int(x + 10 * np.cos(ang)), int(y + 10 * np.sin(ang))),
-                    (255, 200, 0), 1,
-                )
+    fig, ax = plt.subplots(figsize=(16, 8))
+    ax.imshow(canvas)
+    ax.set_axis_off()
 
-    step = max(len(matches) // max_lines, 1)
-    n_in = n_out = 0
-    for a, b in matches[::step]:
-        p1 = (int(k1[a, 0]), int(k1[a, 1]))
-        p2 = (int(k2[b, 0]) + off, int(k2[b, 1]))
-        if (a, b) in inlier_set:
-            color, n_in = (0, 200, 0), n_in + 1
-        else:
-            color, n_out = (0, 0, 220), n_out + 1
-        cv2.line(canvas, p1, p2, color, 1, cv2.LINE_AA)
-    cv2.putText(
-        canvas,
-        f"raw {len(matches)}  inliers {len(inlier_set)} (drawn {n_in}g/{n_out}r)",
-        (10, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2,
+    if args.show_all_keypoints:
+        draw_keypoint_overlays(ax, k1, 0, args)
+        draw_keypoint_overlays(ax, k2, off, args)
+
+    n_in = int(inlier_flags.sum())
+    for (a, b), is_in in zip(matches, inlier_flags):
+        color = args.inlier_color if is_in else args.outlier_color
+        ax.plot([k1[a, 0], k2[b, 0] + off], [k1[a, 1], k2[b, 1]],
+                color=color, linewidth=args.line_width, alpha=0.8)
+        ax.scatter([k1[a, 0], k2[b, 0] + off], [k1[a, 1], k2[b, 1]],
+                   s=args.keypoint_size * 2, c=color, linewidths=0)
+
+    inl_total = len(geometry["inlier_matches"]) if geometry else 0
+    cfg = geometry["config"] if geometry else "-"
+    ax.set_title(
+        f"{name1}  vs  {name2}   |   raw {n_total}   inliers {inl_total} "
+        f"({100 * inl_total / max(n_total, 1):.0f}%)   config {cfg}   "
+        f"[drawn {len(matches)}: {n_in} {args.inlier_color} / "
+        f"{len(matches) - n_in} {args.outlier_color}]"
     )
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-    cv2.imwrite(str(out_path), canvas)
-    print(f"Wrote {out_path}")
+    fig.tight_layout()
+    if out_path is not None:
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_path, dpi=args.dpi, bbox_inches="tight")
+        plt.close(fig)
+        print(f"Wrote {out_path}")
+    else:
+        plt.show()
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--db", type=Path, required=True)
-    ap.add_argument("--images", type=Path, default=None)
-    ap.add_argument("--list-matches", action="store_true")
-    ap.add_argument("--pair", nargs=2, type=int, default=None,
-                    help="image ids to visualize")
-    ap.add_argument("--output", type=Path, default=Path("match_viz.png"))
-    ap.add_argument("--orientations", action="store_true")
-    args = ap.parse_args()
-
+    args = parse_args()
     from vit_colmap_tpu.database import ColmapDatabase
 
-    db = ColmapDatabase(args.db)
-    if args.list_matches or args.pair is None:
-        list_matches(db)
-    if args.pair is not None:
-        if args.images is None:
-            print("--images required to draw a pair")
-        else:
-            draw_pair(db, args.images, args.pair[0], args.pair[1],
-                      args.output, draw_orientations=args.orientations)
-    db.close()
+    db = ColmapDatabase(args.database)
+    try:
+        if args.list_images:
+            list_images_in_database(db)
+            return
+        if args.list_matches:
+            list_matches_in_database(db)
+            return
+        if args.image_dir is None:
+            print("--image-dir required to draw matches; showing --list-matches")
+            list_matches_in_database(db)
+            return
+        if args.all_pairs:
+            images = db.read_images()
+            for (i, j) in sorted(db.read_all_matches().keys()):
+                out = args.output_dir / (
+                    f"{Path(images[i]['name']).stem}__"
+                    f"{Path(images[j]['name']).stem}.png"
+                )
+                visualize_pair(db, args.image_dir, i, j, args, out)
+            return
+        if args.image1 is None or args.image2 is None:
+            print("Provide --image1/--image2 (or --all-pairs / --list-matches)")
+            return
+        images = db.read_images()
+        id1 = get_image_by_name_or_index(images, args.image1)
+        id2 = get_image_by_name_or_index(images, args.image2)
+        visualize_pair(db, args.image_dir, id1, id2, args, args.output)
+    finally:
+        db.close()
 
 
 if __name__ == "__main__":
