@@ -55,3 +55,64 @@ def test_sharded_matching_equals_single_device():
         jax.device_put(v, sh), jax.device_put(v, sh),
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sharded_pallas_matcher_equals_xla():
+    """The shard_map-wrapped Pallas matcher (multi-chip path) must produce
+    the XLA reference matches exactly (VERDICT r1: matching under a mesh
+    must not silently drop the kernel)."""
+    import jax.numpy as jnp
+
+    from vit_colmap_tpu.ops.matching import (
+        match_pairs_batched,
+        normalize_descriptors,
+    )
+    from vit_colmap_tpu.pipeline.match import _build_sharded_pallas_matcher
+
+    rng = np.random.default_rng(1)
+    n_img, N, D = 6, 128, 128
+    desc = np.asarray(normalize_descriptors(
+        rng.standard_normal((n_img, N, D)).astype(np.float32)
+    ))
+    valid = np.ones((n_img, N), bool)
+    valid[2, 100:] = False
+    pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
+    pad = (-len(pairs)) % 8
+    i1 = np.array([p[0] for p in pairs] + [0] * pad, np.int32)
+    i2 = np.array([p[1] for p in pairs] + [0] * pad, np.int32)
+
+    mesh = get_mesh()
+    matcher = _build_sharded_pallas_matcher(mesh, cross_check=True)
+    out = np.asarray(matcher(jnp.asarray(desc), jnp.asarray(valid),
+                             jnp.asarray(i1), jnp.asarray(i2), 0.8, 0.7))
+
+    ref = np.asarray(match_pairs_batched(
+        desc[i1], desc[i2], valid[i1], valid[i2], 0.8, 0.7, True
+    ))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.slow
+def test_sharded_extraction_consistent_with_single_image():
+    """ViT extraction sharded over the 8-device mesh must give the same
+    keypoints/descriptors as processing each image alone (padded batch)."""
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+    from vit_colmap_tpu.ops.interpolate import fit_pca
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (8, 70, 84, 3), dtype=np.uint8)
+
+    ex = ViTExtractor(backbone="vits14", max_keypoints=32, image_batch=8,
+                      seed=0)
+    # Fix the projection so both paths share it.
+    toks = rng.standard_normal((512, 384)).astype(np.float32)
+    ex.set_pca(*fit_pca(toks, ex.descriptor_dim))
+
+    xy_b, sc_b, valid_b, desc_b = ex.extract_batch(imgs)
+    assert ex._ndev == 8  # the mesh path was actually exercised
+
+    for b in (0, 3, 7):
+        xy_1, sc_1, valid_1, desc_1 = ex.extract_batch(imgs[b : b + 1])
+        np.testing.assert_array_equal(valid_b[b], valid_1[0])
+        np.testing.assert_array_equal(xy_b[b], xy_1[0])
+        np.testing.assert_array_equal(desc_b[b], desc_1[0])

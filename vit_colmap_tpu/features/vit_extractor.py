@@ -118,8 +118,38 @@ class ViTExtractor(BaseExtractor):
         k_per_bin = self.k_per_bin
         k_total = self.max_keypoints
 
-        @jax.jit
-        def dense_features(params, images_u8):
+        # Multi-chip: images are data-parallel over the mesh's data axis.
+        # The whole per-image program (backbone incl. Pallas flash attention
+        # + detection) rides shard_map — pallas_call is opaque to the SPMD
+        # partitioner, so automatic partitioning alone can't shard it
+        # (SURVEY §2.4; VERDICT r1 item 3a).
+        mesh = None
+        if jax.device_count() > 1:
+            from vit_colmap_tpu.parallel.mesh import get_mesh
+
+            mesh = get_mesh()
+
+        def _shard_over_batch(body, n_in_batch_args):
+            """jit(body) single-device; jit(shard_map(body)) under a mesh.
+            The first argument (params / replicated operands tuple) is
+            replicated, the remaining args shard over 'data'."""
+            if mesh is None:
+                return jax.jit(body)
+            from jax.sharding import PartitionSpec as PS
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            in_specs = (PS(),) + (PS("data"),) * n_in_batch_args
+            kw = dict(mesh=mesh, in_specs=in_specs, out_specs=PS("data"))
+            try:  # Pallas flash attention inside -> no vma metadata
+                return jax.jit(shard_map(body, check_vma=False, **kw))
+            except TypeError:
+                return jax.jit(shard_map(body, check_rep=False, **kw))
+
+        def _dense_body(params, images_u8):
             x = preprocess(images_u8)
             out = model.apply(params, x)
             gh, gw = out["grid"]
@@ -146,21 +176,40 @@ class ViTExtractor(BaseExtractor):
             desc_u8 = quantize_descriptors_signed(desc)
             return xy, sc, valid, desc_u8
 
-        detect_and_describe = jax.jit(_detect)
-
-        @jax.jit
-        def fused(params, images_u8, pca_comps, pca_mean):
+        def _fused_body(replicated, images_u8):
             # One dispatch per batch once PCA is fitted — dispatch latency
             # over this environment's host<->device relay is material.
-            x = preprocess(images_u8)
-            out = model.apply(params, x)
-            gh, gw = out["grid"]
-            fmap = out["x_norm_patchtokens"].reshape(
-                images_u8.shape[0], gh, gw, -1
-            )
+            params, pca_comps, pca_mean = replicated
+            fmap = _dense_body(params, images_u8)
             return _detect(fmap, pca_comps, pca_mean)
 
+        dense_features = _shard_over_batch(_dense_body, 1)
+        detect_sharded = _shard_over_batch(
+            lambda pca, fmap: _detect(fmap, *pca), 1
+        )
+        fused_sharded = _shard_over_batch(_fused_body, 1)
+
+        def detect_and_describe(fmap, pca_comps, pca_mean):
+            return detect_sharded((pca_comps, pca_mean), fmap)
+
+        def fused(params, images_u8, pca_comps, pca_mean):
+            return fused_sharded((params, pca_comps, pca_mean), images_u8)
+
+        self._ndev = 1 if mesh is None else mesh.shape["data"]
         return dense_features, detect_and_describe, fused
+
+    def _pad_batch(self, images_u8: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad the image batch to a multiple of the mesh's data-axis size
+        (zero images; their outputs are sliced away)."""
+        ndev = getattr(self, "_ndev", 1)
+        B0 = images_u8.shape[0]
+        pad = (-B0) % ndev
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad, *images_u8.shape[1:]),
+                                     images_u8.dtype)]
+            )
+        return images_u8, B0
 
     def extract_batch_async(self, images_u8: np.ndarray):
         """Dispatch one batch; returns device arrays (not synced) so callers
@@ -168,9 +217,12 @@ class ViTExtractor(BaseExtractor):
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features, detect_and_describe, fused = self._forward
+        images_u8, B0 = self._pad_batch(np.asarray(images_u8))
         if self._pca is None:
             fmap = dense_features(self.params, jnp.asarray(images_u8))
-            flat = fmap.astype(jnp.float32).reshape(-1, fmap.shape[-1])
+            flat = (
+                fmap[:B0].astype(jnp.float32).reshape(-1, fmap.shape[-1])
+            )
             self._pca = fit_pca(flat, self.descriptor_dim)
             logger.info(
                 "Fitted PCA %d->%d on %d tokens",
@@ -178,8 +230,12 @@ class ViTExtractor(BaseExtractor):
                 self.descriptor_dim,
                 flat.shape[0],
             )
-            return detect_and_describe(fmap, *self._pca)
-        return fused(self.params, jnp.asarray(images_u8), *self._pca)
+            out = detect_and_describe(fmap, *self._pca)
+        else:
+            out = fused(self.params, jnp.asarray(images_u8), *self._pca)
+        if B0 != images_u8.shape[0]:
+            out = tuple(o[:B0] for o in out)
+        return out
 
     def extract_batch(self, images_u8: np.ndarray):
         """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
@@ -205,10 +261,15 @@ class ViTExtractor(BaseExtractor):
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features = self._forward[0]
+
+        def dense_fn(batch):
+            padded, B0 = self._pad_batch(batch)
+            return dense_features(self.params, jnp.asarray(padded))[:B0]
+
         self._pca = resolve_pca(
             self.pca_path,
             lambda: fit_pca_deterministic(
-                lambda batch: dense_features(self.params, jnp.asarray(batch)),
+                dense_fn,
                 rgbs_sorted,
                 self.descriptor_dim,
                 fit_images=self.pca_fit_images,
@@ -278,8 +339,10 @@ class ViTExtractor(BaseExtractor):
 
             # Dispatch every batch asynchronously first (device compute and
             # host->device transfers overlap the DB writes of earlier
-            # batches), then sink results.
-            B = self.image_batch
+            # batches), then sink results.  Under a mesh the batch rounds up
+            # to the data-axis size so every chip gets an image.
+            ndev = getattr(self, "_ndev", 1)
+            B = ((self.image_batch + ndev - 1) // ndev) * ndev
             pending = []
             for start in range(0, len(gfiles), B):
                 chunk = gfiles[start : start + B]

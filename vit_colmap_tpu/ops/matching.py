@@ -149,7 +149,13 @@ def get_pair_matcher(use_pallas: bool | None = None):
     driver pads to pow2 >= 128 already).
     """
     if resolve_use_pallas(use_pallas):
+        import jax as _jax
+
         from vit_colmap_tpu.ops.pallas.match_kernel import pallas_match_pairs
+
+        # Interpret mode keeps the kernel runnable on the CPU backend
+        # (virtual-mesh tests); on TPU it compiles for real.
+        interpret = _jax.default_backend() == "cpu"
 
         def matcher(
             d1, d2, v1, v2,
@@ -157,7 +163,8 @@ def get_pair_matcher(use_pallas: bool | None = None):
         ):
             if d1.shape[-1] % 128 == 0 and d1.shape[-2] % 128 == 0:
                 return pallas_match_pairs(
-                    d1, d2, v1, v2, max_ratio, max_distance, cross_check
+                    d1, d2, v1, v2, max_ratio, max_distance, cross_check,
+                    interpret=interpret,
                 )
             return match_pairs_batched(
                 d1, d2, v1, v2, max_ratio, max_distance, cross_check
