@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""DTU-scale reconstruction benchmark (BASELINE.md metric 3).
+
+Renders a 50-image synthetic scene (DTU scans are 49-64 images), runs the
+full pipeline (extract -> match -> verify -> incremental SfM + BA) and
+prints ONE JSON line with the reconstruction wall-clock and quality stats.
+
+Usage:
+  python scripts/bench_reconstruction.py [--images 50] [--extractor sift]
+  python scripts/bench_reconstruction.py --tiny      # CPU-sized smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=50)
+    ap.add_argument("--extractor", default="sift")
+    ap.add_argument("--backbone", default="vitb14")
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--max-keypoints", type=int, default=2048)
+    ap.add_argument("--work-dir", type=Path, default=None)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+    if args.tiny:
+        args.images, args.height, args.width = 6, 126, 168
+        args.max_keypoints, args.backbone = 256, "vits14"
+
+    import jax
+
+    from vit_colmap_tpu.dataloader.synthetic_benchmark import (
+        render_multiview_scene,
+    )
+    from vit_colmap_tpu.pipeline.run_pipeline import Pipeline
+    from vit_colmap_tpu.utils.config import Config
+
+    work = args.work_dir or Path(tempfile.mkdtemp(prefix="bench_recon_"))
+    image_dir = work / "images"
+    if not image_dir.exists():
+        _, K = render_multiview_scene(
+            image_dir, n_cams=args.images, size=(args.height, args.width),
+            focal=float(max(args.height, args.width)) * 0.94, seed=7,
+        )
+        (work / "camera.json").write_text(json.dumps(
+            {"params": [K[0, 0], K[1, 1], K[0, 2], K[1, 2]]}
+        ))
+    cam_params = json.loads((work / "camera.json").read_text())["params"]
+
+    config = Config()
+    config.extractor.extractor_type = args.extractor
+    config.extractor.backbone = args.backbone
+    config.extractor.max_keypoints = args.max_keypoints
+    config.camera.model = "PINHOLE"
+    config.camera.params = [float(p) for p in cam_params]
+
+    db_path = work / "db.db"
+    if db_path.exists():
+        db_path.unlink()
+    pipe = Pipeline(config)
+    t0 = time.perf_counter()
+    pipe.run(image_dir, work / "out", db_path)
+    wall = time.perf_counter() - t0
+
+    registered = points3d = 0
+    reproj = 0.0
+    if pipe.reconstructions:
+        registered = sum(len(r.images) for r in pipe.reconstructions.values())
+        points3d = sum(len(r.points3D) for r in pipe.reconstructions.values())
+        biggest = max(pipe.reconstructions.values(), key=lambda r: len(r.images))
+        reproj = biggest.mean_reprojection_error()
+
+    print(json.dumps({
+        "metric": "recon_wall_clock_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": None,
+        "num_images": args.images,
+        "extractor": args.extractor,
+        "registered_images": registered,
+        "registration_rate": round(100.0 * registered / args.images, 1),
+        "points3d": points3d,
+        "mean_reproj_error_px": round(reproj, 3),
+        "resolution": f"{args.height}x{args.width}",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,7 @@ def render_multiview_scene(
     size: tuple[int, int] = (480, 640),
     focal: float = 600.0,
     seed: int = 0,
+    arc: float = 0.35,
 ):
     """Textured slanted planes viewed by an arc of cameras.
 
@@ -153,7 +154,9 @@ def render_multiview_scene(
     image_dir.mkdir(parents=True, exist_ok=True)
     cams = []
     for i in range(n_cams):
-        ang = (i - (n_cams - 1) / 2) * 0.05
+        # Total sweep stays `arc` radians regardless of camera count so the
+        # planes remain in view at DTU-scale (49-64 images).
+        ang = (i - (n_cams - 1) / 2) * (arc / max(n_cams - 1, 1))
         R = np.array(
             [
                 [np.cos(ang), 0, np.sin(ang)],

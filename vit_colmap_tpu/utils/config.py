@@ -97,6 +97,12 @@ class ReconstructionConfig:
     ba_local_iters: int = 25
     ba_global_iters: int = 50
     ba_refine_focal: bool = True
+    # Local BA window: the new image + its most-connected neighbors
+    # (COLMAP IncrementalMapperOptions.local_ba_num_images).
+    local_ba_num_images: int = 6
+    # Run global BA when the model grew by this factor since the last one
+    # (COLMAP's ba_global_images_ratio-style schedule).
+    global_ba_growth: float = 1.3
     min_triangulation_angle_deg: float = 1.5
     filter_max_reproj_error_px: float = 4.0
 
