@@ -32,6 +32,7 @@ def run_bench(
     backbone: str,
     max_keypoints: int,
     pair_batch: int,
+    image_batch: int = 2,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -57,10 +58,16 @@ def run_bench(
     # Batch 2 with deep async pipelining beats larger batches here: the
     # host->device transfer of batch k+1 fully overlaps batch k's compute
     # (measured 7.3 img/s vs 6.4 at batch 4 and 2.8 at batch 8 on v5e).
+    # YUV420 transfer: the axon relay caps H->D at ~45 MB/s, so raw RGB
+    # floors extraction at ~8 img/s; I420 halves bytes and the chroma
+    # upsample + color rotation fuse into the backbone program
+    # (ops/transfer.py; the video-pipeline equivalent of GPU-side JPEG
+    # decode).  The JSON reports the format used.
     ex = ViTExtractor(
         backbone=backbone,
         max_keypoints=max_keypoints,
-        image_batch=min(2, num_images),
+        image_batch=min(image_batch, num_images),
+        transfer_format="yuv420",
     )
 
     # Warmup / compile (also reveals the actual K the detector returns,
@@ -144,12 +151,14 @@ def run_bench(
         "total_matches": total_matches,
         "resolution": f"{height}x{width}",
         "backbone": backbone,
+        "transfer_format": ex.transfer_format,
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU-sized quick run")
+    ap.add_argument("--image-batch", type=int, default=2)
     ap.add_argument("--images", type=int, default=None)
     ap.add_argument("--backbone", type=str, default=None)
     args = ap.parse_args()
@@ -178,7 +187,8 @@ def main() -> None:
         pass
 
     try:
-        extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch)
+        extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch,
+                           image_batch=args.image_batch)
         import jax
 
         extras["device"] = str(jax.devices()[0])

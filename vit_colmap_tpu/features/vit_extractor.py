@@ -66,6 +66,7 @@ class ViTExtractor(BaseExtractor):
         seed: int = 0,
         pca_path: Optional[str] = None,
         pca_fit_images: int = 8,
+        transfer_format: str = "rgb",  # "rgb" | "yuv420" (see ops/transfer.py)
     ):
         self.backbone_name = backbone
         self.max_keypoints = max_keypoints
@@ -77,6 +78,7 @@ class ViTExtractor(BaseExtractor):
         self.image_batch = image_batch
         self.pca_path = pca_path
         self.pca_fit_images = pca_fit_images
+        self.transfer_format = transfer_format
 
         self.model, self.cfg = make_backbone(backbone, dtype=dtype)
         key = jax.random.key(seed)
@@ -149,7 +151,13 @@ class ViTExtractor(BaseExtractor):
             except TypeError:
                 return jax.jit(shard_map(body, check_rep=False, **kw))
 
+        transfer_format = self.transfer_format
+
         def _dense_body(params, images_u8):
+            if transfer_format == "yuv420":
+                from vit_colmap_tpu.ops.transfer import unpack_yuv420
+
+                images_u8 = unpack_yuv420(images_u8)
             x = preprocess(images_u8)
             out = model.apply(params, x)
             gh, gw = out["grid"]
@@ -217,7 +225,12 @@ class ViTExtractor(BaseExtractor):
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features, detect_and_describe, fused = self._forward
-        images_u8, B0 = self._pad_batch(np.asarray(images_u8))
+        images_u8 = np.asarray(images_u8)
+        if self.transfer_format == "yuv420":
+            from vit_colmap_tpu.ops.transfer import pack_batch_yuv420
+
+            images_u8 = pack_batch_yuv420(images_u8)
+        images_u8, B0 = self._pad_batch(images_u8)
         if self._pca is None:
             fmap = dense_features(self.params, jnp.asarray(images_u8))
             flat = (

@@ -80,6 +80,7 @@ class LayerScale(nn.Module):
 
 
 _FLASH_BLOCK = 1024
+_FLASH_BLOCK_Q = 2048  # q2048/k1024 measured best on v5e (8.82 vs 9.07 ms)
 
 
 def _use_flash(impl: str, n_tokens: int) -> bool:
@@ -103,14 +104,15 @@ def _flash_attention(q, k, v, sm_scale):
     )
 
     B, H, N, d = q.shape
-    n_pad = (-N) % _FLASH_BLOCK
+    bq = _FLASH_BLOCK_Q if N >= _FLASH_BLOCK_Q else _FLASH_BLOCK
+    n_pad = (-N) % bq
     if n_pad:
         pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     ids = (jnp.arange(N + n_pad) < N).astype(jnp.int32)
     ids = jnp.broadcast_to(ids, (B, N + n_pad))
     bs = BlockSizes(
-        block_q=_FLASH_BLOCK,
+        block_q=bq,
         block_k_major=_FLASH_BLOCK,
         block_k=_FLASH_BLOCK,
         block_b=1,
