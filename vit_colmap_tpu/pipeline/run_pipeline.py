@@ -69,6 +69,7 @@ class Pipeline:
                 max_keypoints=self.config.extractor.max_keypoints,
                 image_batch=self.config.extractor.image_batch,
                 pca_path=self.config.extractor.pca_path,
+                transfer_format=self.config.extractor.transfer_format,
             )
         if etype == "hybrid":
             from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
@@ -279,6 +280,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--max-keypoints", type=int, default=None)
     ap.add_argument("--pca-path", type=Path, default=None,
                     help="persisted PCA projection (.npz), fit+saved on first use")
+    ap.add_argument("--transfer-format", choices=["rgb", "yuv420"], default=None,
+                    help="image host->device transfer encoding (yuv420 halves bytes)")
     ap.add_argument("--min-num-matches", type=int, default=None)
     ap.add_argument("--dataset", type=str, default=None)
     ap.add_argument("--scene", type=str, default=None)

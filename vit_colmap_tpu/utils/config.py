@@ -125,6 +125,9 @@ class ExtractorConfig:
     # Persisted PCA projection (.npz) shared across ViT-family extractors so
     # descriptors reproduce across runs/orderings (fit+saved on first use).
     pca_path: Optional[str] = None
+    # Host->device image transfer: "rgb" (exact) or "yuv420" (1.5 B/px,
+    # device-side reconstruction; for bandwidth-limited links).
+    transfer_format: str = "rgb"
 
 
 @dataclass
@@ -163,6 +166,8 @@ class Config:
             config.extractor.max_keypoints = int(args.max_keypoints)
         if getattr(args, "pca_path", None):
             config.extractor.pca_path = str(args.pca_path)
+        if getattr(args, "transfer_format", None):
+            config.extractor.transfer_format = args.transfer_format
         if getattr(args, "skip_matching", False):
             config.do_matching = False
         if getattr(args, "skip_reconstruction", False):
