@@ -248,6 +248,10 @@ def match_exhaustive(
         out = np.asarray(out)
         for b, (i, j) in enumerate(chunk):
             m = compact_matches(out[b], counts[i])
+            # COLMAP SiftMatchingOptions.max_num_matches cap (rarely binds:
+            # per-pair matches <= padded keypoint count << 32768 default).
+            if len(m) > config.max_num_matches:
+                m = m[: config.max_num_matches]
             if len(m) > 0:
                 all_matches[(i, j)] = m
 
