@@ -81,16 +81,30 @@ def main() -> None:
     warped, valid = warp_patch_tokens(f1, Hj)
     sim, _ = feature_similarity_map(f1, f2, Hj)
 
-    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    fig, axes = plt.subplots(2, 4, figsize=(19, 8))
     axes[0, 0].imshow(img1r); axes[0, 0].set_title("image 1")
     axes[0, 1].imshow(img2r); axes[0, 1].set_title("image 2")
-    axes[0, 2].imshow(np.asarray(sim)[0], cmap="RdYlGn", vmin=-1, vmax=1)
-    axes[0, 2].set_title("warped cosine similarity")
-    axes[1, 0].imshow(pca_rgb(np.asarray(f1)[0])); axes[1, 0].set_title("feats 1 (PCA)")
-    axes[1, 1].imshow(pca_rgb(np.asarray(warped)[0])); axes[1, 1].set_title("feats 1 warped->2")
-    axes[1, 2].imshow(pca_rgb(np.asarray(f2)[0])); axes[1, 2].set_title("feats 2 (PCA)")
-    for ax in axes.ravel():
-        ax.axis("off")
+    sim_np = np.asarray(sim)[0]
+    valid_np = np.asarray(valid)[0]
+    im = axes[0, 2].imshow(np.where(valid_np, sim_np, np.nan),
+                           cmap="RdYlGn", vmin=-1, vmax=1)
+    fig.colorbar(im, ax=axes[0, 2], fraction=0.046)
+    axes[0, 2].set_title("warped cosine similarity (overlap)")
+    axes[0, 3].hist(sim_np[valid_np].ravel(), bins=40, color="seagreen")
+    axes[0, 3].set_title("similarity histogram")
+    axes[0, 3].axis("on")
+    rgb1 = pca_rgb(np.asarray(f1)[0])
+    rgbw = pca_rgb(np.asarray(warped)[0])
+    rgb2 = pca_rgb(np.asarray(f2)[0])
+    axes[1, 0].imshow(rgb1); axes[1, 0].set_title("feats 1 (PCA)")
+    axes[1, 1].imshow(rgbw); axes[1, 1].set_title("feats 1 warped->2")
+    axes[1, 2].imshow(rgb2); axes[1, 2].set_title("feats 2 (PCA)")
+    blend = np.clip(0.5 * rgbw + 0.5 * rgb2, 0, 1)
+    axes[1, 3].imshow(blend)
+    axes[1, 3].set_title("warped/target blend (misalignment ghosting)")
+    for k, ax in enumerate(axes.ravel()):
+        if k != 3:
+            ax.axis("off")
     fig.tight_layout()
     args.output.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(args.output, dpi=120)

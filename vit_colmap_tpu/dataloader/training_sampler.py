@@ -131,6 +131,27 @@ def cross_image_negatives(
 
 
 @partial(jax.jit, static_argnames=("top_n",))
+def _hard_negative_topk(
+    desc_map2: jax.Array,  # (B, H, W, D)
+    anchor_coords2: jax.Array,  # (B, K, 2)
+    anchor_desc: jax.Array,  # (B, K, D)
+    top_n: int = 4,
+    min_dist: float = 16.0 / 14.0,
+):
+    """(similarities, flat cell indices) of the most-similar-but-far cells."""
+    B, H, W, D = desc_map2.shape
+    flat = desc_map2.reshape(B, H * W, D)
+    sim = jnp.einsum("bkd,bnd->bkn", anchor_desc, flat)  # (B, K, HW)
+    ys = (jnp.arange(H * W) // W).astype(jnp.float32)
+    xs = (jnp.arange(H * W) % W).astype(jnp.float32)
+    cells = jnp.stack([xs, ys], axis=-1)  # (HW, 2)
+    d = jnp.linalg.norm(
+        cells[None, None] - anchor_coords2[:, :, None, :], axis=-1
+    )
+    sim = jnp.where(d >= min_dist, sim, -jnp.inf)
+    return jax.lax.top_k(sim, top_n)  # (B, K, top_n) x2
+
+
 def hard_negatives(
     desc_map2: jax.Array,  # (B, H, W, D)
     anchor_coords2: jax.Array,  # (B, K, 2)
@@ -142,19 +163,30 @@ def hard_negatives(
     ``training_sampler.py:452-532``) as one einsum + top_k."""
     B, H, W, D = desc_map2.shape
     flat = desc_map2.reshape(B, H * W, D)
-    sim = jnp.einsum("bkd,bnd->bkn", anchor_desc, flat)  # (B, K, HW)
-    ys = (jnp.arange(H * W) // W).astype(jnp.float32)
-    xs = (jnp.arange(H * W) % W).astype(jnp.float32)
-    cells = jnp.stack([xs, ys], axis=-1)  # (HW, 2)
-    d = jnp.linalg.norm(
-        cells[None, None] - anchor_coords2[:, :, None, :], axis=-1
+    _, idx = _hard_negative_topk(
+        desc_map2, anchor_coords2, anchor_desc, top_n, min_dist
     )
-    sim = jnp.where(d >= min_dist, sim, -jnp.inf)
-    _, idx = jax.lax.top_k(sim, top_n)  # (B, K, top_n)
     hard = jnp.take_along_axis(
         flat[:, None].repeat(anchor_desc.shape[1], 1), idx[..., None], axis=2
     )
     return _normalize(hard)
+
+
+def hard_negative_coords(
+    desc_map2, anchor_coords2, anchor_desc, top_n: int = 4,
+    min_dist: float = 16.0 / 14.0,
+):
+    """(coords (B, K, top_n, 2) grid xy, similarity (B, K, top_n)) of the
+    hard negatives — for analysis/visualization tooling."""
+    W = desc_map2.shape[2]
+    sim, idx = _hard_negative_topk(
+        desc_map2, anchor_coords2, anchor_desc, top_n, min_dist
+    )
+    xy = jnp.stack(
+        [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)],
+        axis=-1,
+    )
+    return xy, sim
 
 
 def generate_all_negatives(
