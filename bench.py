@@ -38,7 +38,11 @@ def run_bench(
     import jax.numpy as jnp
 
     from vit_colmap_tpu.features.vit_extractor import ViTExtractor
-    from vit_colmap_tpu.ops.matching import get_pair_matcher, normalize_descriptors
+    from vit_colmap_tpu.ops.matching import (
+        compact_matches_device,
+        get_pair_matcher,
+        normalize_descriptors,
+    )
 
     match_pairs = get_pair_matcher()  # Pallas kernel on TPU, XLA on CPU
 
@@ -110,16 +114,21 @@ def run_bench(
     d_dev = normalize_descriptors(jnp.asarray(d))
     v_dev = jnp.asarray(valids)
 
-    # Warmup the matching program.
+    # Warmup the matching + compaction programs.
     i1 = jnp.zeros((pair_batch,), jnp.int32)
-    _ = match_pairs(
+    warm = match_pairs(
         jnp.take(d_dev, i1, 0), jnp.take(d_dev, i1, 0),
         jnp.take(v_dev, i1, 0), jnp.take(v_dev, i1, 0),
-    ).block_until_ready()
+    )
+    compact_matches_device(warm)[0].block_until_ready()
 
     def run_match():
+        # Same dataflow as pipeline/match.py: dispatch every batch async,
+        # compact matches on device, read back counts + a pow2 prefix of
+        # packed (row<<16|col) matches instead of the full (P, N) array.
         t1 = time.perf_counter()
         n_matches = 0
+        pending = []
         for s in range(0, len(pairs), pair_batch):
             chunk = pairs[s : s + pair_batch]
             padn = pair_batch - len(chunk)
@@ -131,8 +140,17 @@ def run_bench(
                 jnp.take(v_dev, ii, 0),
                 jnp.take(v_dev, jj, 0),
             )
-            out.block_until_ready()
-            n_matches += int((np.asarray(out)[: len(chunk)] >= 0).sum())
+            pending.append((len(chunk), compact_matches_device(out)))
+        for n_real, (cnts, packed) in pending:
+            cnts = np.asarray(cnts)[:n_real]
+            k_max = int(cnts.max(initial=0))
+            if k_max:
+                k2 = 128
+                while k2 < k_max:
+                    k2 *= 2
+                k2 = min(k2, packed.shape[-1])
+                _ = np.asarray(jax.lax.slice_in_dim(packed, 0, k2, axis=-1))
+            n_matches += int(cnts.sum())
         return time.perf_counter() - t1, n_matches
 
     results = [run_match() for _ in range(3)]
@@ -178,13 +196,9 @@ def main() -> None:
 
     # Persistent compilation cache: repeat runs skip the (slow, remote)
     # TPU compiles.
-    try:
-        import jax
+    from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
     try:
         extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch,

@@ -31,11 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from vit_colmap_tpu.ops.matching import get_pair_matcher, normalize_descriptors
 

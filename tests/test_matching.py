@@ -96,3 +96,35 @@ def test_compact_matches():
     out = compact_matches(idx, n_valid1=4)
     np.testing.assert_array_equal(out, [[0, 2], [2, 0], [3, 5]])
     assert out.dtype == np.uint32
+
+
+def test_compact_matches_device_matches_host():
+    from vit_colmap_tpu.ops.matching import compact_matches_device, unpack_matches
+
+    rng = np.random.default_rng(7)
+    P, N = 4, 256
+    idx = np.where(
+        rng.random((P, N)) < 0.3,
+        rng.integers(0, N, (P, N)),
+        -1,
+    ).astype(np.int32)
+    counts, packed = compact_matches_device(idx)
+    counts, packed = np.asarray(counts), np.asarray(packed)
+    for p in range(P):
+        host = compact_matches(idx[p], n_valid1=N)
+        dev = unpack_matches(packed[p], int(counts[p]))
+        assert counts[p] == len(host)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_compact_matches_device_empty_and_full():
+    from vit_colmap_tpu.ops.matching import compact_matches_device, unpack_matches
+
+    N = 128
+    empty = np.full((1, N), -1, np.int32)
+    full = np.arange(N, dtype=np.int32)[None]
+    for idx in (empty, full):
+        counts, packed = compact_matches_device(idx)
+        host = compact_matches(idx[0], n_valid1=N)
+        dev = unpack_matches(np.asarray(packed)[0], int(np.asarray(counts)[0]))
+        np.testing.assert_array_equal(dev, host)

@@ -179,3 +179,38 @@ def compact_matches(match_idx: np.ndarray, n_valid1: int) -> np.ndarray:
     match_idx = np.asarray(match_idx[:n_valid1])
     rows = np.nonzero(match_idx >= 0)[0]
     return np.stack([rows, match_idx[rows]], axis=1).astype(np.uint32)
+
+
+_PACK_SENTINEL = np.int32(2**31 - 1)  # sorts after any packed (row, col)
+
+
+@jax.jit
+def compact_matches_device(match_idx: jax.Array):
+    """Device-side compaction of a (P, N) match array.
+
+    Packs each match as ``(row << 16) | col`` (both < 32768 by the driver's
+    pow2 padding cap) and sorts matches to the front of every row, so the
+    host only needs to read back ``counts`` (P ints) plus a short prefix of
+    ``packed`` instead of the full (P, N) array.  Over this environment's
+    ~8 MB/s device->host relay that is the difference between ~32 ms and
+    ~2 ms per 16-pair batch (see docs/PERFORMANCE.md).
+
+    Returns ``(counts (P,) int32, packed (P, N) int32)`` where row p's first
+    ``counts[p]`` entries are its matches in ascending-row order (the same
+    order :func:`compact_matches` produces).
+    """
+    n = match_idx.shape[-1]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    matched = match_idx >= 0
+    counts = matched.sum(axis=-1).astype(jnp.int32)
+    packed = jnp.where(
+        matched, (rows << 16) | match_idx, jnp.int32(_PACK_SENTINEL)
+    )
+    # Sort keys are (row, col) lexicographic for matches, sentinel last.
+    return counts, jnp.sort(packed, axis=-1)
+
+
+def unpack_matches(packed_row: np.ndarray, count: int) -> np.ndarray:
+    """Host-side: one row of ``compact_matches_device`` output -> (R, 2)."""
+    p = np.asarray(packed_row[:count]).astype(np.uint32)
+    return np.stack([p >> 16, p & 0xFFFF], axis=1).astype(np.uint32)

@@ -31,10 +31,11 @@ import numpy as np
 
 from vit_colmap_tpu.database import ColmapDatabase, TWO_VIEW_CONFIG
 from vit_colmap_tpu.ops.matching import (
-    compact_matches,
+    compact_matches_device,
     get_pair_matcher,
     normalize_descriptors,
     resolve_use_pallas,
+    unpack_matches,
 )
 from vit_colmap_tpu.ops.ransac import estimate_two_view_batched
 from vit_colmap_tpu.utils.config import MatchingConfig
@@ -243,11 +244,23 @@ def match_exhaustive(
                 config.cross_check,
                 use_pallas and mesh is None,
             )
-        pending.append((chunk, out))
-    for chunk, out in pending:
-        out = np.asarray(out)
+        # Compact on device: sort matches to the row fronts so the host
+        # reads back counts + a short prefix instead of the full (P, N)
+        # array (the device->host link here is a ~8 MB/s relay).
+        pending.append((chunk, compact_matches_device(out)))
+    for chunk, (m_counts, packed) in pending:
+        m_counts = np.asarray(m_counts)
+        # Padded batch rows are (0, 0) self-pairs whose near-total match
+        # count must not widen the readback prefix.
+        k_max = int(m_counts[: len(chunk)].max(initial=0))
+        if k_max == 0:
+            continue
+        # pow2-bucketed prefix slice: a handful of tiny slice programs
+        # instead of one per distinct count.
+        k2 = min(_next_pow2(k_max), packed.shape[-1])
+        prefix = np.asarray(jax.lax.slice_in_dim(packed, 0, k2, axis=-1))
         for b, (i, j) in enumerate(chunk):
-            m = compact_matches(out[b], counts[i])
+            m = unpack_matches(prefix[b], int(m_counts[b]))
             # COLMAP SiftMatchingOptions.max_num_matches cap (rarely binds:
             # per-pair matches <= padded keypoint count << 32768 default).
             if len(m) > config.max_num_matches:

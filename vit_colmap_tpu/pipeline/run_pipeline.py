@@ -33,6 +33,9 @@ logger = logging.getLogger(__name__)
 
 class Pipeline:
     def __init__(self, config: Optional[Config] = None):
+        from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.config = config or Config()
         self.reconstructions: dict[int, object] = {}
 
@@ -295,13 +298,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         os.environ["VIT_COLMAP_PROFILE_DIR"] = str(args.profile_dir)
 
     # Persistent compilation cache: repeat runs skip TPU compiles.
-    try:
-        import jax
+    from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
     config = Config.from_args(args)
     logger.info("Configuration loaded")

@@ -167,11 +167,9 @@ def main(argv: Optional[list[str]] = None) -> None:
 
     import jax
 
-    try:  # persistent compilation cache
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
     from jax.sharding import NamedSharding, PartitionSpec as P
