@@ -116,3 +116,62 @@ def test_sharded_extraction_consistent_with_single_image():
         np.testing.assert_array_equal(valid_b[b], valid_1[0])
         np.testing.assert_array_equal(xy_b[b], xy_1[0])
         np.testing.assert_array_equal(desc_b[b], desc_1[0])
+
+
+def test_desc_sharded_matcher_equals_replicated():
+    """Scale-out memory mode: descriptors sharded over the data axis with a
+    per-batch ICI all_gather must reproduce the replicated-descriptor
+    matches exactly (MatchingConfig.shard_descriptors)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_colmap_tpu.ops.matching import (
+        match_pairs_batched,
+        normalize_descriptors,
+    )
+    from vit_colmap_tpu.pipeline.match import _build_desc_sharded_matcher
+
+    rng = np.random.default_rng(5)
+    n_img, N, D = 8, 128, 128  # n_img divisible by the 8-device mesh
+    desc = np.asarray(normalize_descriptors(
+        rng.standard_normal((n_img, N, D)).astype(np.float32)
+    ))
+    valid = np.ones((n_img, N), bool)
+    valid[1, 90:] = False
+    valid[7, :] = False  # a fully-padded image slot
+    pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
+    pad = (-len(pairs)) % 8
+    i1 = np.array([p[0] for p in pairs] + [0] * pad, np.int32)
+    i2 = np.array([p[1] for p in pairs] + [0] * pad, np.int32)
+
+    mesh = get_mesh()
+    img_sh = NamedSharding(mesh, P("data"))
+    pair_sh = NamedSharding(mesh, P("data"))
+    matcher = _build_desc_sharded_matcher(mesh, cross_check=True,
+                                          use_pallas=True)
+    out = np.asarray(matcher(
+        jax.device_put(jnp.asarray(desc), img_sh),
+        jax.device_put(jnp.asarray(valid), img_sh),
+        jax.device_put(jnp.asarray(i1), pair_sh),
+        jax.device_put(jnp.asarray(i2), pair_sh),
+        0.8, 0.7,
+    ))
+
+    ref = np.asarray(match_pairs_batched(
+        desc[i1], desc[i2], valid[i1], valid[i2], 0.8, 0.7, True
+    ))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host helpers."""
+    from vit_colmap_tpu.parallel import (
+        initialize_multihost,
+        is_primary,
+        local_image_slice,
+    )
+
+    assert initialize_multihost() is False  # no multi-process env configured
+    assert is_primary()
+    paths = [f"img_{i}.png" for i in range(10)]
+    assert local_image_slice(paths) == paths

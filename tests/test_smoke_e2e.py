@@ -88,3 +88,37 @@ def test_dummy_matches_are_identity(pipeline_run):
     # Same grid => descriptor identical => matches are the identity map.
     np.testing.assert_array_equal(m[:, 0], m[:, 1])
     db.close()
+
+
+def test_shard_descriptors_mode_matches_identically(tmp_path):
+    """match_exhaustive with descriptors sharded over the 8-device mesh
+    (scale-out memory mode) must write the exact matches of the replicated
+    default."""
+    import shutil
+
+    from vit_colmap_tpu.database import ColmapDatabase
+    from vit_colmap_tpu.features.dummy_extractor import DummyExtractor
+    from vit_colmap_tpu.pipeline.match import match_exhaustive
+    from vit_colmap_tpu.utils.config import MatchingConfig
+
+    image_dir = tmp_path / "images"
+    _make_checkerboards(image_dir, n=3)
+    base_db = tmp_path / "base.db"
+    DummyExtractor(step=64).extract(image_dir, base_db, "PINHOLE", None)
+
+    tables = {}
+    for shard in (False, True):
+        db_path = tmp_path / f"m_{shard}.db"
+        shutil.copy(base_db, db_path)
+        cfg = MatchingConfig(shard_descriptors=shard, do_verification=False)
+        stats = match_exhaustive(db_path, cfg)
+        assert stats.matched_pairs >= 1
+        with ColmapDatabase.open_database(db_path) as db:
+            ids = sorted(db.read_images().keys())
+            tables[shard] = {
+                (a, b): db.read_matches(a, b)
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+            }
+    assert tables[False].keys() == tables[True].keys()
+    for k in tables[False]:
+        np.testing.assert_array_equal(tables[False][k], tables[True][k])

@@ -116,6 +116,49 @@ def _build_sharded_pallas_matcher(mesh, cross_check: bool):
         return jax.jit(shard_map(body, check_rep=False, **kw))
 
 
+def _build_desc_sharded_matcher(mesh, cross_check: bool, use_pallas: bool):
+    """Matcher for descriptor tensors SHARDED over the data axis.
+
+    Scale-out memory mode (``MatchingConfig.shard_descriptors``): each chip
+    persistently holds only ``n_img / n_devices`` descriptor rows; per pair
+    batch it ``all_gather``s the full set over ICI (transient), gathers its
+    pair slice, and matches.  The XLA collective rides the mesh's ICI links
+    — the scaling-book recipe — so capacity grows linearly with chips while
+    the per-batch gather stays off the host.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from vit_colmap_tpu.parallel.mesh import DATA_AXIS
+
+    matcher = get_pair_matcher(use_pallas)
+
+    def body(desc, valid, idx1, idx2, max_ratio, max_distance):
+        desc_full = jax.lax.all_gather(desc, DATA_AXIS, axis=0, tiled=True)
+        valid_full = jax.lax.all_gather(valid, DATA_AXIS, axis=0, tiled=True)
+        d1 = jnp.take(desc_full, idx1, axis=0)
+        d2 = jnp.take(desc_full, idx2, axis=0)
+        v1 = jnp.take(valid_full, idx1, axis=0)
+        v2 = jnp.take(valid_full, idx2, axis=0)
+        return matcher(d1, d2, v1, v2, max_ratio, max_distance, cross_check)
+
+    kw = dict(
+        mesh=mesh,
+        in_specs=(
+            PS("data"), PS("data"), PS("data"), PS("data"), PS(), PS(),
+        ),
+        out_specs=PS("data"),
+    )
+    try:
+        return jax.jit(shard_map(body, check_vma=False, **kw))
+    except TypeError:
+        return jax.jit(shard_map(body, check_rep=False, **kw))
+
+
 @dataclass
 class MatchStats:
     num_pairs: int = 0
@@ -177,23 +220,44 @@ def match_exhaustive(
         desc_pad = desc_pad / 127.5 - 1.0
         # Keep padded rows at zero so they stay invalid after normalization.
         desc_pad[~valid] = 0.0
-    desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
-    valid_dev = jnp.asarray(valid)
 
-    # Multi-chip: replicate descriptors, shard pair batches over the data
-    # axis — each chip matches its slice of pairs (SURVEY.md §2.4 design).
+    # Multi-chip: shard pair batches over the data axis — each chip matches
+    # its slice of pairs (SURVEY.md §2.4 design).  Descriptors are either
+    # replicated (default, fastest) or, in the scale-out memory mode
+    # (``shard_descriptors``), sharded over the image dim with a per-batch
+    # ICI all_gather inside the matcher.
     mesh = None
     pair_sharding = None
+    desc_sharded = False
     if jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from vit_colmap_tpu.parallel.mesh import get_mesh
 
         mesh = get_mesh()
-        replicated = NamedSharding(mesh, P())
+        if config.shard_descriptors:
+            ndev = mesh.shape["data"]
+            pad_img = (-n_img) % ndev
+            if pad_img:
+                desc_pad = np.concatenate(
+                    [desc_pad, np.zeros((pad_img,) + desc_pad.shape[1:],
+                                        desc_pad.dtype)]
+                )
+                valid = np.concatenate(
+                    [valid, np.zeros((pad_img, n_max), bool)]
+                )
+            desc_sharded = True
         pair_sharding = NamedSharding(mesh, P("data"))
-        desc_dev = jax.device_put(desc_dev, replicated)
-        valid_dev = jax.device_put(valid_dev, replicated)
+        image_sharding = NamedSharding(
+            mesh, P("data") if desc_sharded else P()
+        )
+        desc_dev = jax.device_put(
+            normalize_descriptors(jnp.asarray(desc_pad)), image_sharding
+        )
+        valid_dev = jax.device_put(jnp.asarray(valid), image_sharding)
+    else:
+        desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
+        valid_dev = jnp.asarray(valid)
 
     # ------------------------------------------------------------- pairs
     pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
@@ -205,7 +269,13 @@ def match_exhaustive(
         # Round the pair batch up to a multiple of the data-axis size.
         ndev = mesh.shape["data"]
         P = ((P + ndev - 1) // ndev) * ndev
-        if use_pallas:
+        if desc_sharded:
+            # Scale-out memory mode: per-batch ICI all_gather of the
+            # sharded descriptor set inside shard_map.
+            sharded_matcher = _build_desc_sharded_matcher(
+                mesh, config.cross_check, use_pallas
+            )
+        elif use_pallas:
             # pallas_call is opaque to the SPMD partitioner, so the kernel
             # rides shard_map: descriptors replicated, pair indices sharded
             # over the data axis, each chip matching its pair slice

@@ -286,6 +286,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--transfer-format", choices=["rgb", "yuv420"], default=None,
                     help="image host->device transfer encoding (yuv420 halves bytes)")
     ap.add_argument("--min-num-matches", type=int, default=None)
+    ap.add_argument("--shard-descriptors", action="store_true",
+                    help="multi-chip scale-out memory mode: keep descriptors "
+                         "sharded over the data axis (per-batch ICI gather)")
     ap.add_argument("--dataset", type=str, default=None)
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--export-metrics", type=Path, default=None)

@@ -79,6 +79,11 @@ class MatchingConfig:
     # TPU execution knobs
     pair_batch: int = 16  # image pairs matched per device program
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    # Multi-chip memory mode: replicate descriptors on every chip (False,
+    # fastest) or keep them sharded over the data axis and all_gather per
+    # pair batch over ICI (True — persistent HBM per chip drops to
+    # |images|/n_devices, the scale-out mode for large scenes).
+    shard_descriptors: bool = False
     # Geometric verification
     do_verification: bool = True
     ransac_max_error_px: float = 4.0
@@ -168,6 +173,8 @@ class Config:
             config.extractor.pca_path = str(args.pca_path)
         if getattr(args, "transfer_format", None):
             config.extractor.transfer_format = args.transfer_format
+        if getattr(args, "shard_descriptors", False):
+            config.matching.shard_descriptors = True
         if getattr(args, "skip_matching", False):
             config.do_matching = False
         if getattr(args, "skip_reconstruction", False):
