@@ -212,7 +212,7 @@ def main() -> None:
     ap.add_argument("--backbone", default="vitb14")
     ap.add_argument("--train", action="store_true",
                     help="train the trainable head and re-evaluate")
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-epoch", type=int, default=25)
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--height", type=int, default=480)
@@ -254,6 +254,13 @@ def main() -> None:
         "hpatches": {},
         "reconstruction": {},
     }
+    # Merge results from a previous (possibly partial) run so individual
+    # extractor rows can be re-measured without redoing the whole sweep.
+    prev_path = work / "QUALITY.json"
+    if prev_path.exists():
+        prev = json.loads(prev_path.read_text())
+        results["hpatches"].update(prev.get("hpatches", {}))
+        results["reconstruction"].update(prev.get("reconstruction", {}))
 
     extractors = [e for e in args.extractors.split(",") if e]
     for ex in extractors:

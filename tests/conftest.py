@@ -26,3 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the five-point-augmented verification
+# program takes minutes to compile on this 1-core CPU; cache it across test
+# sessions (keys include platform/flags, so CPU and TPU entries coexist).
+from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

@@ -122,3 +122,32 @@ def test_vit_extractor_mixed_image_sizes(tmp_path):
         k = db.read_keypoints(iid)
         assert k is not None and len(k) > 0
     db.close()
+
+
+def test_trainable_min_keypoints_floor():
+    """A head whose sigmoid never clears the 0.4 threshold must still emit
+    its top-scoring peaks (min_keypoints floor) instead of zero keypoints;
+    with min_keypoints=0 the reference's bare-threshold semantics return."""
+    import numpy as np
+
+    from vit_colmap_tpu.features.trainable_vit_extractor import (
+        TrainableViTExtractor,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 56, 56, 3), dtype=np.uint8)
+
+    ex = TrainableViTExtractor(
+        backbone="vits14", num_keypoints=64, min_keypoints=16, image_batch=1,
+        detection_threshold=0.99,  # nothing clears it at random init
+    )
+    x, y, orient, score, valid, desc = ex.extract_batch(img)
+    assert 0 < valid[0].sum() <= 64
+    assert valid[0].sum() >= min(16, int((score[0] > 1e-6).sum()))
+
+    ex0 = TrainableViTExtractor(
+        backbone="vits14", num_keypoints=64, min_keypoints=0, image_batch=1,
+        detection_threshold=0.99,
+    )
+    _, _, _, _, valid0, _ = ex0.extract_batch(img)
+    assert valid0[0].sum() == 0

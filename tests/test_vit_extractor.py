@@ -102,3 +102,49 @@ def test_vit_extractor_end_to_end(tmp_path):
         assert (k[:, 0] >= 0).all() and (k[:, 0] <= 84).all()
         assert (k[:, 1] >= 0).all() and (k[:, 1] <= 70).all()
     db.close()
+
+
+def test_device_cache_matching_equals_db_path(tmp_path):
+    """pipeline/match.py must produce identical matches whether descriptors
+    come from the extractor's on-device cache or the DB round trip."""
+    import shutil
+
+    import cv2
+
+    from vit_colmap_tpu.database import ColmapDatabase
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+    from vit_colmap_tpu.pipeline.match import match_exhaustive
+    from vit_colmap_tpu.utils.config import MatchingConfig
+
+    rng = np.random.default_rng(11)
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    base = rng.integers(0, 255, (70, 84, 3), dtype=np.uint8)
+    for i in range(3):
+        cv2.imwrite(str(image_dir / f"im_{i}.png"),
+                    np.roll(base, i * 14, axis=1))
+
+    ex = ViTExtractor(backbone="vits14", max_keypoints=32, image_batch=1,
+                      seed=0)
+    db_a = tmp_path / "a.db"
+    ex.extract(image_dir, db_a, "PINHOLE", None)
+    assert len(ex.device_cache) == 3
+    db_b = tmp_path / "b.db"
+    shutil.copy(db_a, db_b)
+
+    cfg = MatchingConfig(descriptor_encoding="signed", do_verification=False)
+    match_exhaustive(db_a, cfg, device_descriptors=ex.device_cache)
+    match_exhaustive(db_b, cfg)
+
+    tables = []
+    for p in (db_a, db_b):
+        with ColmapDatabase.open_database(p) as db:
+            ids = sorted(db.read_images().keys())
+            tables.append({
+                (a, b): db.read_matches(a, b)
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+            })
+    assert tables[0].keys() == tables[1].keys()
+    assert len(tables[0]) >= 1
+    for k in tables[0]:
+        np.testing.assert_array_equal(tables[0][k], tables[1][k])

@@ -42,6 +42,7 @@ class TrainableViTExtractor(BaseExtractor):
         num_keypoints: int = 20480,
         nms_radius: int = 1,
         detection_threshold: float = 0.4,
+        min_keypoints: int = 256,
         image_batch: int = 2,
         dtype=jnp.bfloat16,
         seed: int = 0,
@@ -49,6 +50,15 @@ class TrainableViTExtractor(BaseExtractor):
         self.num_keypoints = num_keypoints
         self.nms_radius = nms_radius
         self.detection_threshold = detection_threshold
+        # TPU-native robustness addition over the reference's bare 0.4
+        # threshold (``trainable_vit_extractor.py:219-229``): when fewer
+        # than ``min_keypoints`` NMS peaks clear the threshold (e.g. an
+        # early-training head whose sigmoid ceiling sits below 0.4), keep
+        # the top-scoring peaks instead of starving the pipeline to zero
+        # keypoints.  Scores are sorted descending, so behavior is
+        # bit-identical to the reference whenever >= min_keypoints pass.
+        # Set min_keypoints=0 for exact reference semantics.
+        self.min_keypoints = min(min_keypoints, num_keypoints)
         self.image_batch = image_batch
 
         # Reference torch checkpoints (.pt/.pth) carry eval-mode BatchNorms;
@@ -121,19 +131,23 @@ class TrainableViTExtractor(BaseExtractor):
         nms_radius = self.nms_radius
         k_total = self.num_keypoints
         thresh = self.detection_threshold
+        min_k = self.min_keypoints
 
         @jax.jit
         def forward(params, images_u8):
             out = model.apply(params, preprocess(images_u8))
             scores = jax.nn.sigmoid(out["score_logits"])  # (B, H4, W4)
             s = nms_maxpool(scores, nms_radius)
-            s = jnp.where(s > thresh, s, 0.0)
             B, H4, W4 = s.shape
             k = min(k_total, H4 * W4)
             top, idx = jax.lax.top_k(s.reshape(B, -1), k)
             ys = (idx // W4).astype(jnp.float32)
             xs = (idx % W4).astype(jnp.float32)
-            valid = top > 0.0
+            # Threshold, with a top-min_k floor (see __init__): top_k sorts
+            # descending, so >thresh entries form a prefix and the floor is
+            # a no-op whenever enough peaks clear it.
+            rank = jnp.arange(k, dtype=jnp.int32)[None, :]
+            valid = (top > thresh) | ((rank < min_k) & (top > 1e-6))
 
             def gather(m):
                 flat = m.reshape(B, H4 * W4, -1)

@@ -50,6 +50,17 @@ from vit_colmap_tpu.utils.config import CameraConfig
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _compact_valid_rows(desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N, D), (B, N) -> (B, N, D) with valid rows moved to the front
+    (stable, order-preserving) so device rows align with the DB's compacted
+    keypoint rows."""
+    order = jnp.argsort(
+        jnp.logical_not(valid).astype(jnp.int32), axis=1, stable=True
+    )
+    return jnp.take_along_axis(desc, order[..., None], axis=1)
+
+
 class ViTExtractor(BaseExtractor):
     def __init__(
         self,
@@ -311,6 +322,10 @@ class ViTExtractor(BaseExtractor):
     ) -> None:
         import cv2
 
+        # name -> (row-compacted device descriptors (N, D) uint8, count);
+        # consumed by pipeline/match.py to match without re-uploading.
+        self.device_cache: dict[str, tuple[jax.Array, int]] = {}
+
         image_dir = Path(image_dir)
         files = list_images(image_dir)
         if not files:
@@ -370,12 +385,21 @@ class ViTExtractor(BaseExtractor):
                 except Exception:
                     logger.exception("Extraction failed for batch at %s", chunk[0])
             for chunk, (xy, sc, valid, desc) in pending:
-                xy, valid, desc = (np.asarray(v) for v in (xy, valid, desc))
+                # Device handoff: keep row-compacted descriptors on device so
+                # matching can consume them without the DB-read -> re-upload
+                # round trip (pipeline/match.py ``device_descriptors``).
+                desc_dev_c = _compact_valid_rows(desc, valid)
+                xy, valid = np.asarray(xy), np.asarray(valid)
+                desc_np = None  # read back lazily, only if rows are ragged
                 for b, f in enumerate(chunk):
                     v = valid[b]
+                    cnt = int(v.sum())
                     kpts = self._map_coords(xy[b][v], (tw, th), (ow, oh))
                     image_id = db.add_image(f.name, camera_id=cam_id)
                     db.add_keypoints(image_id, kpts)
-                    db.add_descriptors(image_id, desc[b][v])
+                    self.device_cache[f.name] = (desc_dev_c[b], cnt)
+                    if desc_np is None:
+                        desc_np = np.asarray(desc_dev_c)
+                    db.add_descriptors(image_id, desc_np[b][:cnt])
         db.commit()
         db.close()

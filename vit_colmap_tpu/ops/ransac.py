@@ -147,6 +147,79 @@ def _ransac_model(
     return model, final_inl, jnp.sum(final_inl).astype(jnp.int32)
 
 
+def _ransac_model_multi(
+    fit_multi_fn,
+    refit_fn,
+    err_fn,
+    pts1,
+    pts2,
+    mask,
+    key,
+    iters,
+    sample_size,
+    thresh_sq,
+    confidence: float = 0.999,
+    chunk_size: int = 32,
+):
+    """RANSAC for *minimal* solvers that return several candidate models per
+    sample (e.g. the 5-point essential solver's up-to-20 roots).
+
+    ``fit_multi_fn(p1s, p2s) -> (models (C, S, 3, 3), valid (C, S))``;
+    every candidate is scored like an independent hypothesis.  The final
+    refit uses ``refit_fn`` (a single-model weighted fit, e.g. 8-point +
+    manifold projection) on the winner's inliers.
+    """
+    k_max = pts1.shape[0]
+    num_valid = jnp.sum(mask)
+    chunk = min(chunk_size, iters)
+    log1mc = math.log(max(1e-12, 1.0 - confidence))
+
+    def run_chunk(ck):
+        samples = _sample_minimal(ck, chunk, sample_size, num_valid, k_max)
+        models, mvalid = fit_multi_fn(pts1[samples], pts2[samples])
+        flat = models.reshape((-1, 3, 3))
+        errs = err_fn(flat, pts1[None], pts2[None])  # (C*S, K)
+        inl = (errs <= thresh_sq) & mask[None]
+        counts = jnp.sum(inl, axis=-1) * mvalid.reshape(-1).astype(jnp.int32)
+        b = jnp.argmax(counts)
+        return flat[b], counts[b].astype(jnp.int32)
+
+    def cond(state):
+        it_done, best_cnt, _ = state
+        ratio = best_cnt.astype(jnp.float32) / jnp.maximum(
+            num_valid, 1
+        ).astype(jnp.float32)
+        p_good = jnp.clip(ratio**sample_size, 1e-9, 1.0 - 1e-9)
+        required = log1mc / jnp.log1p(-p_good)
+        return (it_done < iters) & (it_done.astype(jnp.float32) < required)
+
+    def body(state):
+        it_done, best_cnt, best_model = state
+        m, c = run_chunk(jax.random.fold_in(key, it_done))
+        better = c > best_cnt
+        return (
+            it_done + chunk,
+            jnp.maximum(c, best_cnt),
+            jnp.where(better, m, best_model),
+        )
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.eye(3, dtype=pts1.dtype))
+    _, best_cnt, best_model = jax.lax.while_loop(cond, body, init)
+
+    best_err = err_fn(best_model[None], pts1[None], pts2[None])[0]
+    best_inl = (best_err <= thresh_sq) & mask
+    w = best_inl.astype(jnp.float32)
+    enough = jnp.sum(w) >= sample_size
+    refit = refit_fn(pts1[None], pts2[None], w[None])[0]
+    model = jnp.where(enough, refit, best_model)
+    final_err = err_fn(model[None], pts1[None], pts2[None])[0]
+    final_inl = (final_err <= thresh_sq) & mask
+    use_refit = jnp.sum(final_inl) >= jnp.sum(best_inl)
+    model = jnp.where(use_refit, model, best_model)
+    final_inl = jnp.where(use_refit, final_inl, best_inl)
+    return model, final_inl, jnp.sum(final_inl).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -155,6 +228,7 @@ def _ransac_model(
         "min_num_inliers",
         "max_h_ratio",
         "confidence",
+        "five_point",
     ),
 )
 def estimate_two_view(
@@ -170,6 +244,7 @@ def estimate_two_view(
     min_num_inliers: int = 15,
     max_h_ratio: float = MAX_H_INLIER_RATIO,
     confidence: float = 0.999,
+    five_point: bool = True,
 ) -> TwoViewResult:
     """COLMAP-style two-view geometry: estimate E (calibrated), F and H,
     arbitrate the configuration (CALIBRATED / UNCALIBRATED /
@@ -204,10 +279,20 @@ def estimate_two_view(
     p2n = norm_pts(K2, pts2)
     focal_mean = (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0
     thresh_sq_n = thresh_sq / jnp.maximum(focal_mean**2, 1e-12)
-    E_direct, e_inl, e_cnt = _ransac_model(
-        geom.fit_essential, geom.sampson_error, p1n, p2n, mask, ke,
-        iters, 8, thresh_sq_n, confidence,
-    )
+    if five_point:
+        # Minimal 5-sample solver (sfm/five_point.py): per-sample success
+        # w^5 instead of w^8 — COLMAP's solver choice for calibrated pairs.
+        from vit_colmap_tpu.sfm.five_point import fit_essential_5pt
+
+        E_direct, e_inl, e_cnt = _ransac_model_multi(
+            fit_essential_5pt, geom.fit_essential, geom.sampson_error,
+            p1n, p2n, mask, ke, iters, 5, thresh_sq_n, confidence,
+        )
+    else:
+        E_direct, e_inl, e_cnt = _ransac_model(
+            geom.fit_essential, geom.sampson_error, p1n, p2n, mask, ke,
+            iters, 8, thresh_sq_n, confidence,
+        )
 
     # --- COLMAP config arbitration ------------------------------------
     e_wins = (

@@ -43,6 +43,16 @@ from vit_colmap_tpu.utils.config import MatchingConfig
 logger = logging.getLogger(__name__)
 
 
+@partial(jax.jit, static_argnames=("signed",))
+def _decode_normalize_u8(desc_u8, valid, signed: bool):
+    """Device-side uint8 decode (+ signed mapping) + masking + L2 norm."""
+    d = desc_u8.astype(jnp.float32)
+    if signed:
+        d = d / 127.5 - 1.0
+    d = jnp.where(valid[..., None], d, 0.0)
+    return normalize_descriptors(d)
+
+
 def _next_pow2(n: int, minimum: int = 128) -> int:
     m = minimum
     while m < n:
@@ -174,9 +184,17 @@ def match_exhaustive(
     db_path,
     config: Optional[MatchingConfig] = None,
     seed: int = 0,
+    device_descriptors: Optional[dict] = None,
 ) -> MatchStats:
     """Run exhaustive matching (+ optional geometric verification) over all
-    images in the database, writing matches and two_view_geometries."""
+    images in the database, writing matches and two_view_geometries.
+
+    ``device_descriptors`` (optional): ``{image_name: (desc_dev (N, D)
+    uint8, count)}`` produced by an extractor's ``device_cache`` — when it
+    covers every image, descriptors are consumed directly on device instead
+    of the DB-read -> host-decode -> re-upload round trip (the D2H/H2D
+    relay in this environment costs ~0.5 s per 8 full-keypoint images).
+    """
     config = config or MatchingConfig()
     stats = MatchStats()
 
@@ -191,35 +209,70 @@ def match_exhaustive(
         return stats
 
     # ---------------------------------------------------------- load + pad
+    # Device handoff: when the extractor's device_cache covers every image
+    # (same descriptor width), matching consumes descriptors already on
+    # device and skips the DB-read -> host-decode -> re-upload round trip.
+    names = {iid: images[iid]["name"] for iid in image_ids}
+    use_dev = device_descriptors is not None and all(
+        n in device_descriptors for n in names.values()
+    )
+    if use_dev:
+        dims = {device_descriptors[n][0].shape[-1] for n in names.values()}
+        use_dev = len(dims) == 1
+
     kpts_list, desc_list, counts = [], [], []
     for iid in image_ids:
         k = db.read_keypoints(iid)
-        d = db.read_descriptors(iid)
-        if k is None or d is None or len(k) == 0:
+        if k is None or len(k) == 0:
             k = np.zeros((0, 2), np.float32)
-            d = np.zeros((0, 128), np.uint8)
         from vit_colmap_tpu.sfm.geometry import undistort_points
 
         cam = cameras[images[iid]["camera_id"]]
         kpts_list.append(
             undistort_points(k[:, :2].astype(np.float32), cam)
         )
-        desc_list.append(d)
-        counts.append(len(k))
+        if use_dev:
+            d_dev, cnt = device_descriptors[names[iid]]
+            desc_list.append(d_dev)
+            counts.append(min(cnt, len(k)))
+        else:
+            d = db.read_descriptors(iid)
+            if d is None or len(k) == 0:
+                d = np.zeros((0, 128), np.uint8)
+            desc_list.append(d)
+            counts.append(len(k))
     n_max = _next_pow2(max(counts))
-    dim = max(d.shape[1] for d in desc_list)
-
-    desc_pad = np.zeros((n_img, n_max, dim), np.float32)
-    valid = np.zeros((n_img, n_max), bool)
-    for i, d in enumerate(desc_list):
-        desc_pad[i, : len(d), : d.shape[1]] = d
-        valid[i, : len(d)] = True
 
     t0 = time.perf_counter()
-    if config.descriptor_encoding == "signed":
-        desc_pad = desc_pad / 127.5 - 1.0
-        # Keep padded rows at zero so they stay invalid after normalization.
-        desc_pad[~valid] = 0.0
+    if use_dev:
+        dim = next(iter(dims))
+        valid = np.zeros((n_img, n_max), bool)
+        for i, c in enumerate(counts):
+            valid[i, :c] = True
+        parts = []
+        for d_dev in desc_list:
+            rows = d_dev.shape[0]
+            if rows < n_max:
+                d_dev = jnp.pad(d_dev, ((0, n_max - rows), (0, 0)))
+            parts.append(d_dev[:n_max])
+        desc_dev = _decode_normalize_u8(
+            jnp.stack(parts),
+            jnp.asarray(valid),
+            signed=config.descriptor_encoding == "signed",
+        )
+    else:
+        dim = max(d.shape[1] for d in desc_list)
+        desc_pad = np.zeros((n_img, n_max, dim), np.float32)
+        valid = np.zeros((n_img, n_max), bool)
+        for i, d in enumerate(desc_list):
+            desc_pad[i, : len(d), : d.shape[1]] = d
+            valid[i, : len(d)] = True
+        if config.descriptor_encoding == "signed":
+            desc_pad = desc_pad / 127.5 - 1.0
+            # Padded rows stay zero so they remain invalid after
+            # normalization.
+            desc_pad[~valid] = 0.0
+        desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
 
     # Multi-chip: shard pair batches over the data axis — each chip matches
     # its slice of pairs (SURVEY.md §2.4 design).  Descriptors are either
@@ -229,6 +282,7 @@ def match_exhaustive(
     mesh = None
     pair_sharding = None
     desc_sharded = False
+    valid_dev = jnp.asarray(valid)
     if jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -239,25 +293,17 @@ def match_exhaustive(
             ndev = mesh.shape["data"]
             pad_img = (-n_img) % ndev
             if pad_img:
-                desc_pad = np.concatenate(
-                    [desc_pad, np.zeros((pad_img,) + desc_pad.shape[1:],
-                                        desc_pad.dtype)]
+                desc_dev = jnp.pad(
+                    desc_dev, ((0, pad_img), (0, 0), (0, 0))
                 )
-                valid = np.concatenate(
-                    [valid, np.zeros((pad_img, n_max), bool)]
-                )
+                valid_dev = jnp.pad(valid_dev, ((0, pad_img), (0, 0)))
             desc_sharded = True
         pair_sharding = NamedSharding(mesh, P("data"))
         image_sharding = NamedSharding(
             mesh, P("data") if desc_sharded else P()
         )
-        desc_dev = jax.device_put(
-            normalize_descriptors(jnp.asarray(desc_pad)), image_sharding
-        )
-        valid_dev = jax.device_put(jnp.asarray(valid), image_sharding)
-    else:
-        desc_dev = normalize_descriptors(jnp.asarray(desc_pad))
-        valid_dev = jnp.asarray(valid)
+        desc_dev = jax.device_put(desc_dev, image_sharding)
+        valid_dev = jax.device_put(valid_dev, image_sharding)
 
     # ------------------------------------------------------------- pairs
     pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
@@ -411,6 +457,7 @@ def match_exhaustive(
                     max_error_px=config.ransac_max_error_px,
                     min_num_inliers=config.min_num_inliers,
                     confidence=config.ransac_confidence,
+                    five_point=config.essential_solver == "5pt",
                 )
                 configs = np.asarray(res.config)
                 inl_masks = np.asarray(res.inlier_mask)

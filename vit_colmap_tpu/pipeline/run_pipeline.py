@@ -155,7 +155,16 @@ class Pipeline:
                 self.config.matching.descriptor_encoding = "signed"
             t1 = time.perf_counter()
             with timer.stage("match+verify"):
-                match_exhaustive(db_path, self.config.matching)
+                match_exhaustive(
+                    db_path,
+                    self.config.matching,
+                    # Device handoff: ViT-family extractors keep compacted
+                    # descriptors on device; matching consumes them without
+                    # the DB-read -> re-upload round trip.
+                    device_descriptors=getattr(
+                        extractor, "device_cache", None
+                    ),
+                )
             t_match = time.perf_counter() - t1
 
         # Stage 3: incremental reconstruction ----------------------------------

@@ -90,6 +90,9 @@ class MatchingConfig:
     ransac_iters: int = 1024
     ransac_confidence: float = 0.999
     min_num_inliers: int = 15
+    # Calibrated essential solver: "5pt" (Nister minimal, COLMAP's choice)
+    # or "8pt" (8-point on normalized coords + manifold projection).
+    essential_solver: str = "5pt"
 
 
 @dataclass
