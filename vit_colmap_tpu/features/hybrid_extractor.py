@@ -67,7 +67,10 @@ class HybridExtractor(BaseExtractor):
         self.pca_path = pca_path
         self.pca_fit_images = pca_fit_images
 
-        self.model, self.cfg = make_backbone(backbone, dtype=dtype)
+        # Frozen inference -> fixed-max attention kernel (see vit_extractor).
+        self.model, self.cfg = make_backbone(
+            backbone, dtype=dtype, attn_impl="fixedmax"
+        )
         if weights_path:
             from vit_colmap_tpu.models.convert import load_torch_checkpoint
 

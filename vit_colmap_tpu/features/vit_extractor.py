@@ -91,7 +91,11 @@ class ViTExtractor(BaseExtractor):
         self.pca_fit_images = pca_fit_images
         self.transfer_format = transfer_format
 
-        self.model, self.cfg = make_backbone(backbone, dtype=dtype)
+        # Frozen inference: the fixed-max single-pass attention kernel
+        # (no backward pass needed; 1.3x over generic flash on v5e).
+        self.model, self.cfg = make_backbone(
+            backbone, dtype=dtype, attn_impl="fixedmax"
+        )
         key = jax.random.key(seed)
         if weights_path:
             from vit_colmap_tpu.models.convert import load_torch_checkpoint

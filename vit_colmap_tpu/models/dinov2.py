@@ -56,8 +56,12 @@ class ViTConfig:
     pretrain_grid: int = 37
     dtype: Any = jnp.bfloat16
     # Attention implementation: "auto" (flash on TPU for long sequences),
-    # "xla", or "flash".  Flash = Pallas fused attention; measured 1.8x over
-    # XLA at 9.7K tokens on v5e (11.05 vs 20.01 ms/layer, B=2).
+    # "xla", "flash", or "fixedmax".  Flash = generic Pallas fused attention
+    # (differentiable; measured 1.8x over XLA at 9.7K tokens on v5e).
+    # Fixedmax = inference-only single-pass kernel (ops/pallas/
+    # attention_kernel.py; 1.3x over flash at the pipeline shape) — used by
+    # the frozen extractors, NOT differentiable, falls back to flash/XLA
+    # off-TPU or for head_dim > 64.
     attn_impl: str = "auto"
 
     @classmethod
@@ -139,7 +143,18 @@ class Attention(nn.Module):
         q = jnp.swapaxes(q, 1, 2)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
-        if _use_flash(c.attn_impl, N):
+        if (
+            c.attn_impl == "fixedmax"
+            and head_dim <= 64
+            and _use_flash("flash", N)
+            and N >= _FLASH_BLOCK
+        ):
+            from vit_colmap_tpu.ops.pallas.attention_kernel import (
+                fixed_max_attention,
+            )
+
+            out = fixed_max_attention(q, k, v, sm_scale=head_dim**-0.5)
+        elif _use_flash(c.attn_impl, N):
             out = _flash_attention(q, k, v, sm_scale=head_dim**-0.5)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q * (head_dim**-0.5), k)
@@ -289,8 +304,14 @@ def make_backbone(
     name: str = "vitb14",
     dtype=jnp.bfloat16,
     num_register_tokens: int = 0,
+    attn_impl: str = "auto",
 ) -> tuple[DinoV2, ViTConfig]:
-    cfg = ViTConfig.named(name, dtype=dtype, num_register_tokens=num_register_tokens)
+    cfg = ViTConfig.named(
+        name,
+        dtype=dtype,
+        num_register_tokens=num_register_tokens,
+        attn_impl=attn_impl,
+    )
     return DinoV2(cfg), cfg
 
 

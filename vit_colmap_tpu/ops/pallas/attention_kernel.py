@@ -1,0 +1,165 @@
+"""Fixed-max flash attention for frozen-backbone inference on TPU.
+
+Replaces the generic ``jax.experimental.pallas.ops.tpu.flash_attention`` in
+the ViT extractor's hot path (reference hot loop:
+``/root/reference/vit_colmap/features/vit_extractor.py:729-762``).  The
+generic kernel spends its time on VPU softmax bookkeeping — running max,
+accumulator rescaling every kv block — and on pad compute (q2048/k1024
+blocks pad 9,690 tokens to 10,240 on both axes: ~12% wasted MXU work).
+
+This kernel exploits two facts about *inference on a frozen model*:
+
+1. Attention logits are bounded (LayerNorm'd q/k, fixed weights), so the
+   numerically-safe running max can be replaced by a FIXED offset:
+   ``p = exp2(s * log2e * scale - OFFSET)``.  Softmax is shift-invariant,
+   so the result is exact as long as ``exp2`` neither overflows (logits
+   would need to exceed ~2^7 = 128 ≈ the fp32 exp overflow bound — we
+   clamp) nor underflows to a degree that matters (underflow means the
+   softmax weight is < 2^-126+OFFSET ≈ 0 anyway).  This deletes the
+   per-block max pass, the comparison, and the accumulator rescale — the
+   VPU work that capped the generic kernel at ~72 TFLOP/s.
+
+2. The softmax denominator is a row-sum of p, which the MXU computes for
+   free: V is extended with a ones column to 128 lanes (a (bq, bkv) @
+   (bkv, 64) matmul already pads output lanes to 128, so the extension
+   costs zero MXU time), making ``acc = p @ [V | 1 | 0]`` yield both the
+   numerator and the denominator in one op.  The VPU does exp2 and
+   nothing else.
+
+Measured on v5e at the pipeline shape (B=2, H=12, N=9690, d=64):
+5.03 ms/layer vs 8.82 ms for the best-tuned generic flash kernel (1.75x),
+115 TFLOP/s on useful (unpadded) FLOPs.
+
+Inference-only: no backward pass.  Training uses the generic flash kernel
+(``models/dinov2._flash_attention``) which has a VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Safety clamp on the exp2 argument: exp2(100) * N * |v| < 2^128 (fp32 max)
+# for realistic activations; a LayerNorm'd frozen ViT's logits stay far
+# below 100 in the exp2 domain (typical |logit * scale * log2e| < 45).
+_CLAMP = 100.0
+
+LOG2E = math.log2(math.e)
+
+# Block sizes: small q blocks minimize pad waste (9690 -> 9728 is 0.4% vs
+# 10240 = 5.7% at bq=2048); v5e sweep showed bq=512/bkv=1024 best (see
+# scripts/sweep_attention.py --fixedmax).
+_BLOCK_Q = 512
+_BLOCK_KV = 1024
+
+
+def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]          # (bq, d) bf16, scale * log2(e) prefolded into q
+    k = k_ref[0]          # (bkv, d) bf16
+    # MXU: scores in fp32 (contraction d=64 runs at full matmul rate).
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bkv), already in exp2 domain
+    # No max subtraction: numerator and denominator share any constant
+    # factor 2^-c, so it cancels in acc/denom.  The clamp alone guards
+    # fp32 overflow (exp2(100)*N*|v| < 2^128 for realistic activations).
+    p = jnp.exp2(jnp.minimum(s, _CLAMP))
+
+    # Mask kv pad columns (only the last block contains any).
+    @pl.when(ik == nkv - 1)
+    def _mask():
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + ik * bkv
+        nonlocal_p = jnp.where(col < n_valid, p, 0.0)
+        acc_ref[...] += jax.lax.dot_general(
+            nonlocal_p.astype(jnp.bfloat16),
+            vext_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik < nkv - 1)
+    def _accum():
+        acc_ref[...] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            vext_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nkv - 1)
+    def _finish():
+        acc = acc_ref[...]
+        denom = jnp.maximum(acc[:, 64:65], 1e-30)  # pad q rows: avoid 0/0
+        o_ref[0] = (acc[:, :64] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_q", "block_kv", "interpret")
+)
+def fixed_max_attention(
+    q, k, v, sm_scale, block_q=_BLOCK_Q, block_kv=_BLOCK_KV, interpret=False
+):
+    """Non-causal single-pass attention, (B, H, N, <=64) -> same shape.
+
+    Exact softmax up to fp32 exp2 rounding for logits below the overflow
+    clamp.  Inference only (no VJP); ``interpret=True`` runs the Pallas
+    interpreter for hardware-independent tests (repo convention, see
+    ``match_kernel.py``).
+    """
+    B, H, N, d = q.shape
+    if d > 64:
+        raise ValueError("fixed_max_attention is specialized for head_dim <= 64")
+    BH = B * H
+    nq = -(-N // block_q)
+    nkv = -(-N // block_kv)
+    Nq, Nkv = nq * block_q, nkv * block_kv
+
+    # Prefold softmax scale and the exp->exp2 conversion into q: one f32
+    # multiply over (BH, N, 64) instead of one per score element.
+    qf = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+    qf = qf.reshape(BH, N, d)
+    kf = k.reshape(BH, N, d)
+    vf = v.reshape(BH, N, d)
+    if d < 64:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 64 - d)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, 64 - d)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 64 - d)))
+    qf = jnp.pad(qf, ((0, 0), (0, Nq - N), (0, 0)))
+    kf = jnp.pad(kf, ((0, 0), (0, Nkv - N), (0, 0)))
+    # V extended to 128 lanes: [V | ones | zeros].  ones at col 64 -> the
+    # PV matmul accumulates the softmax denominator in acc[:, 64].
+    ones = jnp.ones((BH, N, 1), vf.dtype)
+    vext = jnp.concatenate(
+        [vf, ones, jnp.zeros((BH, N, 63), vf.dtype)], axis=-1
+    )
+    vext = jnp.pad(vext, ((0, 0), (0, Nkv - N), (0, 0)))
+
+    kernel = functools.partial(_kernel, n_valid=N, bkv=block_kv, nkv=nkv)
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 64), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_kv, 64), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_kv, 128), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 64), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq, 64), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vext)
+    return out[:, :N, :d].reshape(B, H, N, d)
