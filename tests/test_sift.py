@@ -99,3 +99,45 @@ def test_sift_descriptors_match_under_translation():
     dy = k2p[m[:, 1], 1] - k1p[m[:, 0], 1]
     good = (np.abs(dx - 0) < 3) & (np.abs(dy + 8) < 3)
     assert good.mean() > 0.6, good.mean()
+
+
+def test_multi_orientation_emits_secondary_peaks():
+    """A corner-like pattern with two strong gradient directions should
+    yield duplicate keypoints (same x/y/scale, different orientation), the
+    COLMAP max_num_orientations=2 behavior."""
+    rng = np.random.default_rng(3)
+    import scipy.ndimage as ndi
+
+    img = ndi.gaussian_filter(rng.random((160, 160)).astype(np.float32), 2.0)
+    img = (img - img.min()) / (img.max() - img.min())
+    kp2, dc2 = extract_sift(img[None], max_keypoints=512, num_orientations=2)
+    kp1, dc1 = extract_sift(img[None], max_keypoints=512, num_orientations=1)
+    # Multi-orientation never loses keypoints and typically adds copies.
+    assert len(kp2[0]) >= len(kp1[0])
+    # Find at least one duplicated location with distinct orientations.
+    xys = {}
+    dup = 0
+    for x, y, s, o in kp2[0]:
+        key = (round(float(x), 2), round(float(y), 2), round(float(s), 3))
+        if key in xys and abs(xys[key] - o) > 0.3:
+            dup += 1
+        xys[key] = o
+    assert dup >= 1, "expected at least one secondary-orientation keypoint"
+
+
+def test_single_orientation_unchanged_by_flag():
+    """num_orientations=1 must reproduce the primary-peak-only output."""
+    img = _blob_image()
+    kp1, _ = extract_sift(img[None], max_keypoints=64, num_orientations=1)
+    kp2, _ = extract_sift(img[None], max_keypoints=64, num_orientations=2)
+    # Primaries (first occurrence per location) agree between the two modes.
+    prim = {}
+    for x, y, s, o in kp2[0]:
+        key = (round(float(x), 2), round(float(y), 2))
+        prim.setdefault(key, o)
+    matched = 0
+    for x, y, s, o in kp1[0]:
+        key = (round(float(x), 2), round(float(y), 2))
+        if key in prim and abs(prim[key] - o) < 1e-4:
+            matched += 1
+    assert matched >= min(len(kp1[0]), 3)

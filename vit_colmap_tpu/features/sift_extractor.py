@@ -30,11 +30,15 @@ class SiftExtractor(BaseExtractor):
         num_octaves: int = 4,
         contrast_thresh: float = 0.02,
         image_batch: int = 4,
+        num_orientations: int = 2,
     ):
         self.max_keypoints = max_keypoints
         self.num_octaves = num_octaves
         self.contrast_thresh = contrast_thresh
         self.image_batch = image_batch
+        # COLMAP SiftExtractionOptions.max_num_orientations default (2):
+        # duplicate keypoints at secondary orientation-histogram peaks.
+        self.num_orientations = num_orientations
 
     def extract(
         self,
@@ -82,6 +86,7 @@ class SiftExtractor(BaseExtractor):
                     max_keypoints=self.max_keypoints,
                     num_octaves=self.num_octaves,
                     contrast_thresh=self.contrast_thresh,
+                    num_orientations=self.num_orientations,
                 )
                 for (f, _), kp, dc in zip(chunk, kpts_list, desc_list):
                     image_id = db.add_image(f.name, camera_id=cam_id)

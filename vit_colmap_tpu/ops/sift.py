@@ -249,31 +249,63 @@ def _sample_level_stacked(
     return jax.vmap(bilinear_sample)(fm_stacked, flat).reshape(B, K, P, 2)
 
 
-def _interp_peak(hist: jax.Array) -> jax.Array:
-    """Quadratic interpolation of the circular-histogram peak -> angle in
-    (-pi, pi].  hist: (..., nb)."""
+def _quad_interp_bins(hist: jax.Array, p: jax.Array) -> jax.Array:
+    """Quadratic interpolation of circular-histogram bins ``p`` (int,
+    same leading shape as hist minus last axis, trailing axis = #peaks)
+    -> angles in (-pi, pi]."""
     nb = hist.shape[-1]
-    p = jnp.argmax(hist, axis=-1)
-    c = jnp.take_along_axis(hist, p[..., None], -1)[..., 0]
-    left = jnp.take_along_axis(hist, ((p - 1) % nb)[..., None], -1)[..., 0]
-    right = jnp.take_along_axis(hist, ((p + 1) % nb)[..., None], -1)[..., 0]
+    c = jnp.take_along_axis(hist, p, -1)
+    left = jnp.take_along_axis(hist, (p - 1) % nb, -1)
+    right = jnp.take_along_axis(hist, (p + 1) % nb, -1)
     denom = left - 2 * c + right
     off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
     off = jnp.clip(off, -0.5, 0.5)
-    ang = (p.astype(jnp.float32) + 0.5 + off) / nb * 2 * jnp.pi - jnp.pi
-    return ang
+    return (p.astype(jnp.float32) + 0.5 + off) / nb * 2 * jnp.pi - jnp.pi
 
 
-def _orientation_from_samples(m, a, w, num_bins):
-    """(B, K, P) magnitude/angle/weight -> dominant angle via 36-bin hist,
-    6x circular smoothing (COLMAP convention) + quadratic peak interp."""
+def _interp_peak(hist: jax.Array) -> jax.Array:
+    """Quadratic interpolation of the circular-histogram peak -> angle in
+    (-pi, pi].  hist: (..., nb)."""
+    p = jnp.argmax(hist, axis=-1)
+    return _quad_interp_bins(hist, p[..., None])[..., 0]
+
+
+def _peaks_from_hist(hist: jax.Array, max_peaks: int, peak_ratio: float):
+    """Top ``max_peaks`` local maxima of a smoothed circular histogram, the
+    COLMAP/VLFeat multi-orientation rule: every local max >= peak_ratio *
+    global max yields a keypoint copy (COLMAP SiftExtractionOptions
+    peak_threshold 0.8, max_num_orientations 2).  Returns (angles
+    (..., max_peaks), valid (..., max_peaks)); slot 0 is always the global
+    max."""
+    nb = hist.shape[-1]
+    left = jnp.roll(hist, 1, -1)
+    right = jnp.roll(hist, -1, -1)
+    gmax = jnp.max(hist, -1, keepdims=True)
+    qualified = (
+        (hist > left) & (hist >= right) & (hist >= peak_ratio * gmax)
+    ) | (hist >= gmax)
+    vals = jnp.where(qualified & (hist > 0), hist, -jnp.inf)
+    top_v, top_i = jax.lax.top_k(vals, max_peaks)
+    valid = jnp.isfinite(top_v)
+    ang = _quad_interp_bins(hist, top_i)
+    return ang, valid
+
+
+def _orientation_hist(m, a, w, num_bins):
+    """(B, K, P) magnitude/angle/weight -> smoothed 36-bin circular
+    histogram (6x smoothing, COLMAP convention)."""
     bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * num_bins).astype(jnp.int32)
     bins = jnp.clip(bins, 0, num_bins - 1)
     onehot = jax.nn.one_hot(bins, num_bins)  # (B, K, P, nb)
     hist = jnp.einsum("bkp,bkpn->bkn", m * w, onehot)
     for _ in range(6):
         hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
-    return _interp_peak(hist)
+    return hist
+
+
+def _orientation_from_samples(m, a, w, num_bins):
+    """(B, K, P) magnitude/angle/weight -> dominant angle."""
+    return _interp_peak(_orientation_hist(m, a, w, num_bins))
 
 
 @partial(jax.jit, static_argnames=("num_bins", "radius"))
@@ -324,6 +356,37 @@ def dominant_orientation_multilevel(
     r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2)[None, None] * step[..., 0] ** 2
     w = jnp.exp(-r2 / (2.0 * win_sigma[..., None] ** 2))
     return _orientation_from_samples(samp[..., 0], samp[..., 1], w, num_bins)
+
+
+@partial(jax.jit, static_argnames=("num_bins", "grid_radius", "max_peaks"))
+def orientation_peaks_multilevel(
+    fm_stacked: jax.Array,  # (B, L*H, W, 2)
+    xy: jax.Array,  # (B, K, 2)
+    level: jax.Array,  # (B, K) int32
+    sigma_kp: jax.Array,  # (B, K)
+    H: int,
+    W: int,
+    num_bins: int = 36,
+    grid_radius: int = 8,
+    max_peaks: int = 2,
+    peak_ratio: float = 0.8,
+):
+    """Multi-orientation variant of :func:`dominant_orientation_multilevel`:
+    returns (angles (B, K, max_peaks), valid (B, K, max_peaks)).  COLMAP
+    emits one keypoint copy per qualifying orientation peak (VLFeat
+    convention, reference native surface
+    ``features/colmap_sift_extractor.py:38-43``)."""
+    offs = jnp.arange(-grid_radius, grid_radius + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    grid = jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
+    win_sigma = ORI_SIGMA_FACTOR * sigma_kp
+    step = (ORI_WINDOW_FACTOR * win_sigma / grid_radius)[..., None, None]
+    pts = xy[:, :, None, :] + grid[None, None] * step
+    samp = _sample_level_stacked(fm_stacked, pts, level, H, W)
+    r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2)[None, None] * step[..., 0] ** 2
+    w = jnp.exp(-r2 / (2.0 * win_sigma[..., None] ** 2))
+    hist = _orientation_hist(samp[..., 0], samp[..., 1], w, num_bins)
+    return _peaks_from_hist(hist, max_peaks, peak_ratio)
 
 
 def _descriptor_core(m, a_rel, rel_np, window):
@@ -449,6 +512,7 @@ def extract_sift(
     num_scales: int = 3,
     contrast_thresh: float = 0.0133,
     first_octave: int = -1,
+    num_orientations: int = 2,
 ):
     """Full multi-octave SIFT. Host orchestration over per-octave jitted
     programs; returns (kpts (N, 4) [x, y, scale, orientation] per image as a
@@ -458,6 +522,9 @@ def extract_sift(
     default — doubles small-scale keypoint recall); 0 starts at native
     resolution.  ``contrast_thresh`` default matches cv2's effective
     per-layer threshold (0.04 / nlayers) on [0, 1] images.
+    ``num_orientations`` emits one keypoint copy per orientation-histogram
+    peak >= 0.8x max (COLMAP SiftExtractionOptions.max_num_orientations=2);
+    1 restores single-orientation keypoints.
     """
     B, H, W = gray.shape
     per_oct = max(max_keypoints // num_octaves, 64)
@@ -491,9 +558,27 @@ def extract_sift(
         sigma_kp = SIGMA0 * jnp.power(k, s_ref)  # octave pixels
         L = num_scales + 3
         fm = _gradient_fm(gauss).reshape(B, L * Ho, Wo, 2)
-        orient = dominant_orientation_multilevel(
-            fm, xy, level, sigma_kp, Ho, Wo
-        )
+        if num_orientations > 1:
+            # (B, K, Pk) orientation peaks -> one keypoint copy per peak
+            # (fixed-shape expansion to K*Pk, masked by peak validity).
+            orient_pk, peak_ok = orientation_peaks_multilevel(
+                fm, xy, level, sigma_kp, Ho, Wo, max_peaks=num_orientations
+            )
+            Pk = num_orientations
+            K = xy.shape[1]
+            xy = jnp.repeat(xy, Pk, axis=1)
+            level = jnp.repeat(level, Pk, axis=1)
+            sigma_kp = jnp.repeat(sigma_kp, Pk, axis=1)
+            orient = orient_pk.reshape(B, K * Pk)
+            valid = (valid[:, :, None] & peak_ok).reshape(B, K * Pk)
+            # Secondary copies sort just after their primary on score ties.
+            score = (
+                score[:, :, None] - jnp.arange(Pk, dtype=score.dtype) * 1e-6
+            ).reshape(B, K * Pk)
+        else:
+            orient = dominant_orientation_multilevel(
+                fm, xy, level, sigma_kp, Ho, Wo
+            )
         # 4 spatial bins x 3*sigma per bin = full window width 12*sigma.
         win_px = DESC_BIN_SIGMA * 4.0 * sigma_kp
         desc = sift_descriptors_multilevel(
