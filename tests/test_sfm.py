@@ -121,7 +121,7 @@ def test_bundle_adjust_reduces_error():
     cam_noisy[2, 3:6] += 0.05
 
     problem = _make_ba_problem(cams, K, X, cam_noisy, pts)
-    cam_out, focal_out, pts_out, msr = bundle_adjust(
+    cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
         problem, iters=25, cg_iters=30
     )
     assert float(msr) < 0.05, float(msr)
@@ -144,7 +144,7 @@ def test_bundle_adjust_refines_focal():
     problem = _make_ba_problem(
         cams, K, X, cam, pts, refine_focal=True, K_scale=0.9
     )
-    cam_out, focal_out, pts_out, msr = bundle_adjust(
+    cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
         problem, iters=30, cg_iters=40
     )
     assert float(msr) < 0.1, float(msr)
@@ -235,3 +235,68 @@ def test_track_merge(tmp_path):
     # Same-image overlap is refused.
     pe = state.add_point(xyz, [(2, 1)])
     assert not mapper.try_merge(pa, pe) or (2, 1) not in state.tracks[pa]
+
+
+def test_bundle_adjust_refines_distortion():
+    """Observations generated with radial distortion k1=-0.15: BA starting
+    from k=0 with refine_dist_mask on must recover k1 (COLMAP
+    refine_extra_params behavior)."""
+    X, K, cams = _look_at_scene(n_pts=80, n_cams=4, seed=7)
+    k1_true = -0.15
+    n_img = len(cams)
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for i, (R, t) in enumerate(cams):
+        Xc = X @ np.asarray(R).T + np.asarray(t)
+        xn = Xc[:, :2] / Xc[:, 2:]
+        r2 = (xn**2).sum(-1, keepdims=True)
+        xd = xn * (1 + k1_true * r2)
+        uv = xd * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        for j in range(len(X)):
+            obs_cam.append(i)
+            obs_pt.append(j)
+            obs_xy.append(uv[j])
+    cam = np.zeros((n_img, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:6] = t
+    problem = BAProblem(
+        cam_params=jnp.asarray(cam),
+        focal_log=jnp.zeros(1, jnp.float32),
+        points=jnp.asarray(X.astype(np.float32)),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_pt, jnp.int32),
+        obs_xy=jnp.asarray(np.asarray(obs_xy), jnp.float32),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+        K=jnp.asarray(np.tile(K, (n_img, 1, 1)), jnp.float32),
+        cam_of_img=jnp.zeros(n_img, jnp.int32),
+        fixed_cam_mask=jnp.asarray([True, True] + [False] * (n_img - 2)),
+        refine_focal_mask=jnp.zeros(1, bool),
+        dist=jnp.zeros((1, 2), jnp.float32),
+        refine_dist_mask=jnp.asarray([[True, False]]),
+    )
+    cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
+        problem, iters=30, cg_iters=40
+    )
+    k1_est = float(np.asarray(dist_out)[0, 0])
+    assert abs(k1_est - k1_true) < 0.02, (k1_est, float(msr))
+    assert float(msr) < 0.5, float(msr)
+    # k2 stays frozen.
+    assert abs(float(np.asarray(dist_out)[0, 1])) < 1e-8
+
+
+def test_bundle_adjust_dist_default_none_unchanged():
+    """Callers that omit dist fields get identical pinhole behavior."""
+    X, K, cams = _look_at_scene(n_pts=40, n_cams=3, seed=9)
+    cam = np.zeros((3, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:6] = t
+    pts = (X + 0.02 * np.random.default_rng(0).standard_normal(X.shape)).astype(
+        np.float32
+    )
+    problem = _make_ba_problem(cams, K, X, cam, pts)
+    cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
+        problem, iters=10, cg_iters=20
+    )
+    assert float(msr) < 0.05
+    np.testing.assert_allclose(np.asarray(dist_out), 0.0, atol=1e-10)

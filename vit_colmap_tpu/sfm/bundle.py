@@ -97,21 +97,34 @@ class BAProblem(NamedTuple):
     cam_of_img: jax.Array  # int32 (n_img,)
     fixed_cam_mask: jax.Array
     refine_focal_mask: jax.Array  # (n_cam,) bool
+    # Radial distortion (COLMAP SIMPLE_RADIAL k1 / RADIAL k1,k2), applied to
+    # normalized coords in the projection: x_d = x (1 + k1 r^2 + k2 r^4).
+    # When used, obs_xy must be RAW (distorted) pixel observations — the
+    # COLMAP/Ceres convention (`refine_extra_params`).  None -> zeros
+    # (pinhole), keeping older construction sites and tests unchanged.
+    dist: jax.Array | None = None  # (n_cam, 2) [k1, k2]
+    refine_dist_mask: jax.Array | None = None  # (n_cam, 2) bool per param
 
 
 CAM_DOF = 6
 
 
-def _residuals(cam_params, focal_log, points, problem: BAProblem, huber_delta):
+def _residuals(
+    cam_params, focal_log, dist, points, problem: BAProblem, huber_delta
+):
     """(n_obs, 2) Huber-scaled reprojection residuals."""
     cams = cam_params[problem.obs_cam]  # (n_obs, 6)
     X = points[problem.obs_point]  # (n_obs, 3)
     R = axis_angle_to_matrix(cams[:, :3])
     t = cams[:, 3:6]
-    fscale = jnp.exp(focal_log[problem.cam_of_img[problem.obs_cam]])
+    obs_camid = problem.cam_of_img[problem.obs_cam]
+    fscale = jnp.exp(focal_log[obs_camid])
     Xc = jnp.einsum("nij,nj->ni", R, X) + t
     z = jnp.where(jnp.abs(Xc[:, 2:]) > 1e-8, Xc[:, 2:], 1e-8)
     xn = Xc[:, :2] / z
+    kk = dist[obs_camid]  # (n_obs, 2)
+    r2 = jnp.sum(xn * xn, axis=-1, keepdims=True)
+    xn = xn * (1.0 + kk[:, 0:1] * r2 + kk[:, 1:2] * r2 * r2)
     Kobs = problem.K[problem.obs_cam]
     u = xn[:, 0] * Kobs[:, 0, 0] * fscale + Kobs[:, 0, 2]
     v = xn[:, 1] * Kobs[:, 1, 1] * fscale + Kobs[:, 1, 2]
@@ -127,27 +140,33 @@ def _residuals(cam_params, focal_log, points, problem: BAProblem, huber_delta):
     return jnp.where(problem.obs_valid[:, None], r, 0.0)
 
 
-def _jtj_diag(cam_params, focal_log, points, problem: BAProblem, huber_delta):
+def _jtj_diag(
+    cam_params, focal_log, dist, points, problem: BAProblem, huber_delta
+):
     """Exact diag(JᵀJ), computed from per-observation Jacobians.
 
-    Each residual row touches one image pose (6 dof), one shared focal (1)
-    and one point (3): a vmapped 2x10 Jacobian per observation +
-    segment-sums gives the full diagonal without materializing J — the TPU
-    stand-in for Ceres' block-diagonal bookkeeping.
+    Each residual row touches one image pose (6 dof), one shared focal (1),
+    two shared distortion params and one point (3): a vmapped 2x12 Jacobian
+    per observation + segment-sums gives the full diagonal without
+    materializing J — the TPU stand-in for Ceres' block-diagonal
+    bookkeeping.
     """
     n_img = cam_params.shape[0]
     n_cam = focal_log.shape[0]
     n_pts = points.shape[0]
 
-    def one_obs(cam6, fl, pt3, xy, Kmat, valid):
+    def one_obs(cam6, fl, kk, pt3, xy, Kmat, valid):
         def r(cp):
-            c, f, p = cp[:6], cp[6], cp[7:]
+            c, f, k12, p = cp[:6], cp[6], cp[7:9], cp[9:]
             R = axis_angle_to_matrix(c[:3])
             Xc = R @ p + c[3:6]
             fs = jnp.exp(f)
             z = jnp.where(jnp.abs(Xc[2]) > 1e-8, Xc[2], 1e-8)
-            u = Xc[0] / z * Kmat[0, 0] * fs + Kmat[0, 2]
-            v = Xc[1] / z * Kmat[1, 1] * fs + Kmat[1, 2]
+            xn = Xc[:2] / z
+            r2 = jnp.sum(xn * xn)
+            xn = xn * (1.0 + k12[0] * r2 + k12[1] * r2 * r2)
+            u = xn[0] * Kmat[0, 0] * fs + Kmat[0, 2]
+            v = xn[1] * Kmat[1, 1] * fs + Kmat[1, 2]
             res = jnp.stack([u, v]) - xy
             nrm = jnp.linalg.norm(res)
             w = jnp.where(
@@ -157,22 +176,28 @@ def _jtj_diag(cam_params, focal_log, points, problem: BAProblem, huber_delta):
             )
             return res * w * valid
 
-        J = jax.jacfwd(r)(jnp.concatenate([cam6, fl[None], pt3]))  # (2, 10)
-        return jnp.sum(J * J, axis=0)  # (10,)
+        J = jax.jacfwd(r)(
+            jnp.concatenate([cam6, fl[None], kk, pt3])
+        )  # (2, 12)
+        return jnp.sum(J * J, axis=0)  # (12,)
 
     obs_focal = problem.cam_of_img[problem.obs_cam]
     sq = jax.vmap(one_obs)(
         cam_params[problem.obs_cam],
         focal_log[obs_focal],
+        dist[obs_focal],
         points[problem.obs_point],
         problem.obs_xy,
         problem.K[problem.obs_cam],
         problem.obs_valid.astype(jnp.float32),
-    )  # (n_obs, 10)
+    )  # (n_obs, 12)
     cam_diag = jax.ops.segment_sum(sq[:, :6], problem.obs_cam, n_img)
     focal_diag = jax.ops.segment_sum(sq[:, 6], obs_focal, n_cam)
-    pt_diag = jax.ops.segment_sum(sq[:, 7:], problem.obs_point, n_pts)
-    return jnp.concatenate([cam_diag.ravel(), focal_diag, pt_diag.ravel()])
+    dist_diag = jax.ops.segment_sum(sq[:, 7:9], obs_focal, n_cam)
+    pt_diag = jax.ops.segment_sum(sq[:, 9:], problem.obs_point, n_pts)
+    return jnp.concatenate(
+        [cam_diag.ravel(), focal_diag, dist_diag.ravel(), pt_diag.ravel()]
+    )
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
@@ -182,19 +207,31 @@ def bundle_adjust(
     cg_iters: int = 50,
     huber_delta: float = 3.0,
 ):
-    """Run LM; returns (cam_params, focal_log, points, mean sq residual)."""
+    """Run LM; returns (cam_params, focal_log, dist, points, mean sq
+    residual)."""
     n_img = problem.cam_params.shape[0]
     n_cam = problem.focal_log.shape[0]
     n_pts = problem.points.shape[0]
+    if problem.dist is None:
+        problem = problem._replace(dist=jnp.zeros((n_cam, 2), jnp.float32))
+    if problem.refine_dist_mask is None:
+        problem = problem._replace(
+            refine_dist_mask=jnp.zeros((n_cam, 2), bool)
+        )
 
-    def pack(cam, focal, pts):
-        return jnp.concatenate([cam.ravel(), focal, pts.ravel()])
+    def pack(cam, focal, dist, pts):
+        return jnp.concatenate([cam.ravel(), focal, dist.ravel(), pts.ravel()])
+
+    o_f = n_img * 6
+    o_d = o_f + n_cam
+    o_p = o_d + n_cam * 2
 
     def unpack(x):
-        cam = x[: n_img * 6].reshape(n_img, 6)
-        focal = x[n_img * 6 : n_img * 6 + n_cam]
-        pts = x[n_img * 6 + n_cam :].reshape(n_pts, 3)
-        return cam, focal, pts
+        cam = x[:o_f].reshape(n_img, 6)
+        focal = x[o_f:o_d]
+        dist = x[o_d:o_p].reshape(n_cam, 2)
+        pts = x[o_p:].reshape(n_pts, 3)
+        return cam, focal, dist, pts
 
     cam_free = jnp.broadcast_to(
         ~problem.fixed_cam_mask[:, None], (n_img, 6)
@@ -202,12 +239,13 @@ def bundle_adjust(
     free_mask = pack(
         cam_free,
         problem.refine_focal_mask.astype(jnp.float32),
+        problem.refine_dist_mask.astype(jnp.float32),
         jnp.ones((n_pts, 3)),
     )
 
     def res_fn(x):
-        cam, focal, pts = unpack(x)
-        return _residuals(cam, focal, pts, problem, huber_delta).ravel()
+        cam, focal, dist, pts = unpack(x)
+        return _residuals(cam, focal, dist, pts, problem, huber_delta).ravel()
 
     def cost(x):
         r = res_fn(x)
@@ -216,8 +254,8 @@ def bundle_adjust(
     def lm_step(carry, _):
         x, lam = carry
         r = res_fn(x)
-        cam, focal, pts = unpack(x)
-        diag = _jtj_diag(cam, focal, pts, problem, huber_delta)
+        cam, focal, dist, pts = unpack(x)
+        diag = _jtj_diag(cam, focal, dist, pts, problem, huber_delta)
         diag = jnp.maximum(diag, 1e-6)
         # g = Jᵀ r via vjp; JᵀJ v via jvp + vjp; Marquardt damping lam*diag.
         _, vjp = jax.vjp(res_fn, x)
@@ -249,12 +287,14 @@ def bundle_adjust(
         )
         return (x, lam), None
 
-    x0 = pack(problem.cam_params, problem.focal_log, problem.points)
+    x0 = pack(
+        problem.cam_params, problem.focal_log, problem.dist, problem.points
+    )
     (x_fin, _), _ = jax.lax.scan(
         lm_step, (x0, jnp.float32(1e-4)), None, length=iters
     )
-    cam, focal, pts = unpack(x_fin)
-    r = _residuals(cam, focal, pts, problem, huber_delta)
+    cam, focal, dist, pts = unpack(x_fin)
+    r = _residuals(cam, focal, dist, pts, problem, huber_delta)
     n_valid = jnp.maximum(jnp.sum(problem.obs_valid), 1)
     msr = jnp.sum(jnp.sum(r * r, axis=-1)) / n_valid
-    return cam, focal, pts, msr
+    return cam, focal, dist, pts, msr

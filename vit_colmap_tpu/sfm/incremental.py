@@ -66,10 +66,15 @@ class _MapperState:
     candidacy are vectorized gathers, not dict lookups (the reference's
     COLMAP does the equivalent with its C++ correspondence graph)."""
 
-    def __init__(self, cameras, images, keypoints):
+    def __init__(self, cameras, images, keypoints, keypoints_raw=None):
         self.cameras = cameras  # camera_id -> db dict
         self.images = images  # image_id -> db dict
-        self.keypoints = keypoints  # image_id -> (N, 2) float32
+        self.keypoints = keypoints  # image_id -> (N, 2) float32, undistorted
+        # Raw (distorted) pixel observations for BA with in-model radial
+        # distortion (COLMAP convention).  Same arrays when no distortion.
+        self.keypoints_raw = (
+            keypoints_raw if keypoints_raw is not None else keypoints
+        )
         self.poses: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # id -> (R, t)
         self.points: dict[int, np.ndarray] = {}  # point_id -> xyz
         self.tracks: dict[int, list[tuple[int, int]]] = {}
@@ -473,12 +478,19 @@ class IncrementalMapper:
         # (n_img used to be exact -> one recompile per registration).
         n_img = _next_pow2(len(img_ids), 4)
         n_pts_pad = _next_pow2(len(pt_ids))
+        # RAW (distorted) observations: BA models radial distortion in the
+        # projection (COLMAP/Ceres convention) instead of consuming the
+        # fixed-point-undistorted coords the rest of the mapper uses.
         obs = []
         for pid in pt_ids:
             for iid2, f in s.tracks[pid]:
                 if iid2 in img_index:
                     obs.append(
-                        (img_index[iid2], pt_index[pid], s.keypoints[iid2][f])
+                        (
+                            img_index[iid2],
+                            pt_index[pid],
+                            s.keypoints_raw[iid2][f],
+                        )
                     )
         n_obs_pad = _next_pow2(len(obs), 256)
 
@@ -527,6 +539,25 @@ class IncrementalMapper:
                     "prior_focal_length", False
                 )
         refine_focal = refine_focal_mask
+        # Radial distortion: initialize from camera params; refine k1
+        # (SIMPLE_RADIAL) / k1,k2 (RADIAL) under the same no-prior gate as
+        # focal (COLMAP refine_extra_params).
+        dist = np.zeros((len(cam_ids_used), 2), np.float32)
+        refine_dist = np.zeros((len(cam_ids_used), 2), bool)
+        for cid, k in cam_index.items():
+            model = s.cameras[cid]["model"]
+            params = np.asarray(s.cameras[cid]["params"], np.float64)
+            if model == "SIMPLE_RADIAL":
+                dist[k, 0] = params[3] if len(params) > 3 else 0.0
+                refine_dist[k] = (True, False)
+            elif model == "RADIAL":
+                dist[k, 0] = params[3] if len(params) > 3 else 0.0
+                dist[k, 1] = params[4] if len(params) > 4 else 0.0
+                refine_dist[k] = (True, True)
+        if not (do_refine and self.cfg.ba_refine_extra_params):
+            refine_dist[:] = False
+        else:
+            refine_dist &= refine_focal_mask[:, None]
         problem = BAProblem(
             cam_params=jnp.asarray(cam),
             focal_log=jnp.zeros(len(cam_ids_used), jnp.float32),
@@ -539,10 +570,15 @@ class IncrementalMapper:
             cam_of_img=jnp.asarray(cam_of_img),
             fixed_cam_mask=jnp.asarray(fixed),
             refine_focal_mask=jnp.asarray(refine_focal),
+            dist=jnp.asarray(dist),
+            refine_dist_mask=jnp.asarray(refine_dist),
         )
-        cam_out, focal_out, pts_out, msr = bundle_adjust(problem, iters=iters)
+        cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
+            problem, iters=iters
+        )
         cam_out = np.asarray(cam_out, np.float64)
         focal_out = np.asarray(focal_out, np.float64)
+        dist_out = np.asarray(dist_out, np.float64)
         pts_out = np.asarray(pts_out, np.float64)
         for iid2, k in img_index.items():
             if iid2 not in var_set:
@@ -561,6 +597,34 @@ class IncrementalMapper:
                 n_f = 2 if s.cameras[cid]["model"] == "PINHOLE" else 1
                 params[:n_f] *= scale
                 s.cameras[cid]["params"] = params
+            # Distortion write-back + refresh of the mapper's cached
+            # undistorted observations (PnP/triangulation/filters consume
+            # them; they must track the refined model).
+            if refine_dist[k].any():
+                params = np.asarray(
+                    s.cameras[cid]["params"], np.float64
+                ).copy()
+                changed = False
+                if len(params) > 3 and abs(dist_out[k, 0] - params[3]) > 1e-12:
+                    params[3] = dist_out[k, 0]
+                    changed = True
+                if (
+                    s.cameras[cid]["model"] == "RADIAL"
+                    and len(params) > 4
+                    and abs(dist_out[k, 1] - params[4]) > 1e-12
+                ):
+                    params[4] = dist_out[k, 1]
+                    changed = True
+                if changed:
+                    s.cameras[cid]["params"] = params
+                    for iid2 in s.images:
+                        if (
+                            s.images[iid2]["camera_id"] == cid
+                            and iid2 in s.keypoints_raw
+                        ):
+                            s.keypoints[iid2] = geom.undistort_points(
+                                s.keypoints_raw[iid2], s.cameras[cid]
+                            )
         return float(msr)
 
     def filter_points(self) -> int:
@@ -674,11 +738,14 @@ def incremental_mapping(
     cameras = db.read_cameras()
     images = db.read_images()
     keypoints = {}
+    keypoints_raw = {}
     for iid in images:
         k = db.read_keypoints(iid)
         k = k[:, :2] if k is not None and len(k) else np.zeros((0, 2), np.float32)
         # Mapper geometry uses an undistorted pinhole model; radial models'
         # observations are undistorted once here (geom.undistort_points).
+        # BA consumes the raw coords and models distortion in-projection.
+        keypoints_raw[iid] = k
         keypoints[iid] = geom.undistort_points(
             k, cameras[images[iid]["camera_id"]]
         )
@@ -709,6 +776,7 @@ def incremental_mapping(
             cameras,
             {i: images[i] for i in remaining},
             {i: keypoints[i] for i in remaining},
+            {i: keypoints_raw[i] for i in remaining},
         )
         mapper = IncrementalMapper(state, sub_pairs, config)
         if not mapper.initialize():

@@ -105,6 +105,10 @@ class ReconstructionConfig:
     ba_local_iters: int = 25
     ba_global_iters: int = 50
     ba_refine_focal: bool = True
+    # Refine radial distortion (COLMAP BundleAdjustment refine_extra_params):
+    # k1 for SIMPLE_RADIAL, k1+k2 for RADIAL, gated like focal on cameras
+    # without user-provided priors.
+    ba_refine_extra_params: bool = True
     # Local BA window: the new image + its most-connected neighbors
     # (COLMAP IncrementalMapperOptions.local_ba_num_images).
     local_ba_num_images: int = 6
