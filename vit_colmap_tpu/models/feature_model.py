@@ -151,8 +151,12 @@ def make_feature_model(
     descriptor_dim: int = 128,
     dtype=jnp.bfloat16,
     norm: str = "group",
+    attn_impl: str = "fixedmax",
 ) -> tuple[ViTFeatureModel, FeatureModelConfig, ViTConfig]:
-    _, bcfg = make_backbone(backbone, dtype=dtype)
+    # The backbone is frozen (stop_gradient on its output), so the
+    # inference-only fixed-max attention kernel is safe for training AND
+    # extraction: no gradient ever flows through attention.
+    _, bcfg = make_backbone(backbone, dtype=dtype, attn_impl=attn_impl)
     cfg = FeatureModelConfig(
         backbone=backbone, descriptor_dim=descriptor_dim, dtype=dtype, norm=norm
     )

@@ -349,9 +349,64 @@ def estimate_two_view(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iters",
+        "max_error_px",
+        "min_num_inliers",
+        "max_h_ratio",
+        "confidence",
+        "five_point",
+    ),
+)
 def estimate_two_view_batched(
     pts1, pts2, mask, K1, K2, calibrated, keys, **kwargs
 ) -> TwoViewResult:
-    """vmap of :func:`estimate_two_view` over a pair batch (leading axis P)."""
+    """vmap of :func:`estimate_two_view` over a pair batch (leading axis P).
+
+    Jitted at the batch level so the whole verification program is ONE
+    XLA computation (and AOT-compilable, see
+    :func:`prewarm_two_view_program`)."""
     fn = partial(estimate_two_view, **kwargs)
     return jax.vmap(fn)(pts1, pts2, mask, K1, K2, calibrated, keys)
+
+
+def prewarm_two_view_program(
+    pair_batch: int, k_max: int, **kwargs
+) -> "threading.Thread":
+    """AOT-compile the batched verification program for shape
+    ``(pair_batch, k_max)`` in a background thread.
+
+    Verification programs compile per (pair_batch, K-bucket) shape; on the
+    remote-compile TPU service a cold compile costs tens of seconds that
+    otherwise lands between matching and verification.  Launching this
+    while extraction/matching still runs hides it (compilation is
+    host/service-side; no device time is consumed).  Returns the thread;
+    join() is optional — results land in jit's compile cache keyed by
+    shape, so the later real call picks them up automatically.
+    """
+    import threading
+
+    def _build():
+        try:
+            estimate_two_view_batched.lower(
+                jnp.zeros((pair_batch, k_max, 2), jnp.float32),
+                jnp.zeros((pair_batch, k_max, 2), jnp.float32),
+                jnp.zeros((pair_batch, k_max), bool),
+                jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                jnp.zeros(pair_batch, bool),
+                jax.random.split(jax.random.key(0), pair_batch),
+                **kwargs,
+            ).compile()
+        except Exception:  # pragma: no cover - best effort
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "verification prewarm failed", exc_info=True
+            )
+
+    t = threading.Thread(target=_build, daemon=True, name="verif-prewarm")
+    t.start()
+    return t

@@ -119,7 +119,33 @@ class Pipeline:
         self, image_dir, output_dir, db_path, dataset, scene, results_dir,
         timer, trace,
     ) -> None:
+        import jax
+
         # Stage 1: extraction -------------------------------------------------
+        # Pre-warm the verification RANSAC programs for the two most likely
+        # K-buckets in the background: remote TPU compiles cost tens of
+        # seconds and otherwise serialize between matching and verification.
+        # (TPU only: on CPU the compile threads would compete with the
+        # pipeline for cores instead of hiding remote-compile latency.)
+        if (
+            self.config.do_matching
+            and self.config.matching.do_verification
+            and jax.default_backend() not in ("cpu", "gpu")
+        ):
+            from vit_colmap_tpu.ops.ransac import prewarm_two_view_program
+
+            mc = self.config.matching
+            k_hi = 1 << max(int(self.config.extractor.max_keypoints) - 1, 127).bit_length()
+            for k_bucket in {k_hi, max(k_hi // 2, 128)}:
+                prewarm_two_view_program(
+                    mc.pair_batch,
+                    k_bucket,
+                    iters=mc.ransac_iters,
+                    max_error_px=mc.ransac_max_error_px,
+                    min_num_inliers=mc.min_num_inliers,
+                    confidence=mc.ransac_confidence,
+                    five_point=mc.essential_solver == "5pt",
+                )
         t0 = time.perf_counter()
         with timer.stage("extract"):
             extractor = self._make_extractor()
