@@ -168,11 +168,13 @@ class ViTExtractor(BaseExtractor):
 
         transfer_format = self.transfer_format
 
+        full_range = getattr(self, "_yuv_full_range", False)
+
         def _dense_body(params, images_u8):
             if transfer_format == "yuv420":
                 from vit_colmap_tpu.ops.transfer import unpack_yuv420
 
-                images_u8 = unpack_yuv420(images_u8)
+                images_u8 = unpack_yuv420(images_u8, full_range=full_range)
             x = preprocess(images_u8)
             out = model.apply(params, x)
             gh, gw = out["grid"]
@@ -234,14 +236,18 @@ class ViTExtractor(BaseExtractor):
             )
         return images_u8, B0
 
-    def extract_batch_async(self, images_u8: np.ndarray):
+    def extract_batch_async(self, images_u8: np.ndarray, packed: bool = False):
         """Dispatch one batch; returns device arrays (not synced) so callers
-        can pipeline host->device transfers against compute."""
+        can pipeline host->device transfers against compute.
+
+        ``packed=True`` means ``images_u8`` is already I420-packed
+        (B, H*3/2, W) — the native decoder's output — and skips host
+        packing."""
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features, detect_and_describe, fused = self._forward
         images_u8 = np.asarray(images_u8)
-        if self.transfer_format == "yuv420":
+        if self.transfer_format == "yuv420" and not packed:
             from vit_colmap_tpu.ops.transfer import pack_batch_yuv420
 
             images_u8 = pack_batch_yuv420(images_u8)
@@ -291,6 +297,18 @@ class ViTExtractor(BaseExtractor):
         dense_features = self._forward[0]
 
         def dense_fn(batch):
+            if self.transfer_format == "yuv420":
+                # The dense program consumes wire-format I420; pack with the
+                # range convention it was built for.
+                from vit_colmap_tpu.ops.transfer import (
+                    pack_batch_yuv420,
+                    pack_yuv420_full,
+                )
+
+                if getattr(self, "_yuv_full_range", False):
+                    batch = np.stack([pack_yuv420_full(im) for im in batch])
+                else:
+                    batch = pack_batch_yuv420(batch)
             padded, B0 = self._pad_batch(batch)
             return dense_features(self.params, jnp.asarray(padded))[:B0]
 
@@ -339,23 +357,55 @@ class ViTExtractor(BaseExtractor):
         db = ColmapDatabase(db_path)
         camera_ids: dict[tuple[int, int], int] = {}
 
+        # Native decode path: JPEG/PNG -> I420 planes at target size in C++
+        # (native/image_io.cc), skipping the cv2 RGB roundtrip and the host
+        # pack.  Only for the YUV420 wire format; falls back to cv2 when the
+        # library isn't built.  Must be decided BEFORE _build_forward: the
+        # device unpack constants differ (full-range JFIF vs cv2 studio).
+        native_io = None
+        if self.transfer_format == "yuv420" and self._forward is None:
+            from vit_colmap_tpu.utils import native_io as _nio
+
+            if _nio.load_native() is not None:
+                native_io = _nio
+                self._yuv_full_range = True
+
         # Group by original size so each group batches at one static shape.
         groups: dict[tuple[int, int], list[Path]] = {}
         imgs_cache: dict[Path, np.ndarray] = {}
-        for f in files:
-            img = cv2.imread(str(f))
-            if img is None:
-                logger.warning("Unreadable image skipped: %s", f)
-                continue
-            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            imgs_cache[f] = rgb
-            groups.setdefault(rgb.shape[:2], []).append(f)
+        if native_io is not None:
+            for f in files:
+                wh = native_io.probe_size(f)
+                if wh is None:
+                    logger.warning("Unreadable image skipped: %s", f)
+                    continue
+                groups.setdefault((wh[1], wh[0]), []).append(f)
+        else:
+            for f in files:
+                img = cv2.imread(str(f))
+                if img is None:
+                    logger.warning("Unreadable image skipped: %s", f)
+                    continue
+                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                imgs_cache[f] = rgb
+                groups.setdefault(rgb.shape[:2], []).append(f)
 
         # PCA is fitted on the first images in sorted-name order (NOT batch
         # arrival order) and persisted when pca_path is set, so descriptors
-        # reproduce across runs/orderings (VERDICT r1 item 6).
-        if imgs_cache:
-            self._ensure_pca([imgs_cache[f] for f in files if f in imgs_cache])
+        # reproduce across runs/orderings (VERDICT r1 item 6).  The native
+        # path decodes only the fit subset via cv2 (RGB needed host-side);
+        # when a persisted PCA loads, no host decode happens at all.
+        if self._pca is None:
+            pca_loadable = bool(self.pca_path) and Path(self.pca_path).exists()
+            if native_io is not None and not pca_loadable:
+                for f in files[: self.pca_fit_images]:
+                    img = cv2.imread(str(f))
+                    if img is not None:
+                        imgs_cache[f] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if imgs_cache or pca_loadable:
+                self._ensure_pca(
+                    [imgs_cache[f] for f in files if f in imgs_cache]
+                )
 
         for (oh, ow), gfiles in groups.items():
             th, tw = patch_grid_size(oh, ow)
@@ -378,17 +428,40 @@ class ViTExtractor(BaseExtractor):
             pending = []
             for start in range(0, len(gfiles), B):
                 chunk = gfiles[start : start + B]
-                batch = np.zeros((B, th, tw, 3), np.uint8)
-                for b, f in enumerate(chunk):
-                    rgb = imgs_cache[f]
-                    if (oh, ow) != (th, tw):
-                        rgb = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
-                    batch[b] = rgb
+                if native_io is not None:
+                    # C++ decode+resize straight into wire-format I420.
+                    packed, ok = native_io.decode_batch_i420(
+                        chunk, tw, th, pad_to=B, n_threads=2
+                    )
+                    ok = ok[: len(chunk)]
+                    for f, good in zip(chunk, ok):
+                        if not good:
+                            logger.warning("Native decode failed: %s", f)
+                    if not ok.any():
+                        continue
+                    batch, packed_flag = packed, True
+                else:
+                    ok = np.ones(len(chunk), bool)
+                    batch = np.zeros((B, th, tw, 3), np.uint8)
+                    for b, f in enumerate(chunk):
+                        rgb = imgs_cache[f]
+                        if (oh, ow) != (th, tw):
+                            rgb = cv2.resize(
+                                rgb, (tw, th), interpolation=cv2.INTER_AREA
+                            )
+                        batch[b] = rgb
+                    packed_flag = False
                 try:
-                    pending.append((chunk, self.extract_batch_async(batch)))
+                    pending.append(
+                        (
+                            chunk,
+                            ok,
+                            self.extract_batch_async(batch, packed=packed_flag),
+                        )
+                    )
                 except Exception:
                     logger.exception("Extraction failed for batch at %s", chunk[0])
-            for chunk, (xy, sc, valid, desc) in pending:
+            for chunk, ok, (xy, sc, valid, desc) in pending:
                 # Device handoff: keep row-compacted descriptors on device so
                 # matching can consume them without the DB-read -> re-upload
                 # round trip (pipeline/match.py ``device_descriptors``).
@@ -396,6 +469,8 @@ class ViTExtractor(BaseExtractor):
                 xy, valid = np.asarray(xy), np.asarray(valid)
                 desc_np = None  # read back lazily, only if rows are ragged
                 for b, f in enumerate(chunk):
+                    if not ok[b]:  # decode failure: skip, rows stay aligned
+                        continue
                     v = valid[b]
                     cnt = int(v.sum())
                     kpts = self._map_coords(xy[b][v], (tw, th), (ow, oh))

@@ -28,11 +28,14 @@ def pack_yuv420(rgb_u8: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2YUV_I420)
 
 
-def unpack_yuv420(packed: jax.Array) -> jax.Array:
+def unpack_yuv420(packed: jax.Array, full_range: bool = False) -> jax.Array:
     """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float32 RGB in [0, 255].
 
-    Bilinear chroma upsample + BT.601 full-range inverse (cv2's I420
-    convention).  Pure XLA; fuses into the backbone program.
+    Bilinear chroma upsample + BT.601 inverse.  Pure XLA; fuses into the
+    backbone program.  ``full_range=False`` is cv2's I420 convention
+    (studio range, Y in [16, 235] — what :func:`pack_yuv420` emits);
+    ``full_range=True`` is JFIF full-range YCbCr — what the native decoder
+    (native/image_io.cc) emits straight from libjpeg.
     """
     B, h15, w = packed.shape
     h = (h15 * 2) // 3
@@ -44,14 +47,49 @@ def unpack_yuv420(packed: jax.Array) -> jax.Array:
     v = flat[:, n_y + n_c :].reshape(B, h // 2, w // 2).astype(jnp.float32)
     u = jax.image.resize(u, (B, h, w), "bilinear") - 128.0
     v = jax.image.resize(v, (B, h, w), "bilinear") - 128.0
-    # Studio-range BT.601 inverse (cv2's I420 convention: Y in [16, 235]).
-    yc = 1.164383 * (y - 16.0)
-    r = yc + 1.596027 * v
-    g = yc - 0.391762 * u - 0.812968 * v
-    b = yc + 2.017232 * u
+    if full_range:
+        # JFIF BT.601 full-range inverse.
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+    else:
+        # Studio-range BT.601 inverse (cv2's I420 convention).
+        yc = 1.164383 * (y - 16.0)
+        r = yc + 1.596027 * v
+        g = yc - 0.391762 * u - 0.812968 * v
+        b = yc + 2.017232 * u
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
 def pack_batch_yuv420(rgb_batch_u8: np.ndarray) -> np.ndarray:
     """(B, H, W, 3) -> (B, H*3/2, W) uint8."""
     return np.stack([pack_yuv420(im) for im in rgb_batch_u8])
+
+
+def pack_yuv420_full(rgb_u8: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB -> (H*3/2, W) uint8 I420 in JFIF FULL range —
+    the native decoder's convention (numpy host path, used when host RGB
+    images must enter a full-range-configured device program, e.g. the
+    PCA fit alongside native decode)."""
+    h, w = rgb_u8.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0
+    rgb = rgb_u8.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # 2x2 mean chroma subsample (I420).
+    def sub(c):
+        return c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    out = np.empty((h * 3 // 2, w), np.uint8)
+    flat = out.reshape(-1)
+    n_y, n_c = h * w, (h // 2) * (w // 2)
+    flat[:n_y] = np.clip(y + 0.5, 0, 255).astype(np.uint8).reshape(-1)
+    flat[n_y : n_y + n_c] = (
+        np.clip(sub(cb) + 0.5, 0, 255).astype(np.uint8).reshape(-1)
+    )
+    flat[n_y + n_c :] = (
+        np.clip(sub(cr) + 0.5, 0, 255).astype(np.uint8).reshape(-1)
+    )
+    return out
