@@ -59,3 +59,31 @@ def test_pallas_match_permutation_recovered():
     v = np.ones((1, N), bool)
     idx = np.asarray(pallas_match_pairs(d1, d2, v, v, interpret=True))[0]
     np.testing.assert_array_equal(idx, np.argsort(perm))
+
+
+def test_fused_cross_check_matches_two_pass():
+    """The single-pass fused cross-check must reproduce the two-pass
+    result on random descriptor sets with padding."""
+    import jax.numpy as jnp
+
+    from vit_colmap_tpu.ops.pallas.match_kernel import pallas_match_pairs
+
+    rng = np.random.default_rng(7)
+    P, N, M, D = 3, 256, 384, 128
+    d1 = rng.standard_normal((P, N, D)).astype(np.float32)
+    d2 = rng.standard_normal((P, M, D)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    # Plant mutual matches so `keep` is nonempty.
+    d2[:, :64] = d1[:, :64]
+    v1 = np.ones((P, N), bool)
+    v2 = np.ones((P, M), bool)
+    v1[:, 200:] = False
+    v2[:, 300:] = False
+    args = (jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2))
+    kw = dict(max_ratio=0.95, max_distance=1.2, cross_check=True,
+              interpret=True)
+    fused = np.asarray(pallas_match_pairs(*args, fused_cross=True, **kw))
+    twopass = np.asarray(pallas_match_pairs(*args, fused_cross=False, **kw))
+    assert (fused >= 0).sum() >= P * 50  # planted matches found
+    np.testing.assert_array_equal(fused, twopass)

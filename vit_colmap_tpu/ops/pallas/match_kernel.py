@@ -271,8 +271,125 @@ def pallas_match_pairs_int8(
     return jnp.where(keep, best_idx, -1).astype(jnp.int32)
 
 
+def _make_topk2_colmax_kernel(tn: int, tm: int):
+    """Fused forward top-2 + cross-check partials in ONE similarity pass.
+
+    The plain cross-check runs the kernel twice (d1@d2.T then d2@d1.T),
+    recomputing the identical similarity matrix transposed.  Here every
+    (tn, tm) block additionally reduces its per-COLUMN (max, argmax-row,
+    rows masked by valid1) into partial outputs keyed by (n, m) — no
+    revisiting, so the (P, N/tn, M) partials stream to HBM (a few MB) and a
+    tiny XLA merge over N/tn recovers the exact column argmax.  Tie
+    semantics match the two-pass version bit-for-bit: first row achieving
+    the max wins (within-block min-iota + across-block first-occurrence
+    argmax).
+    """
+
+    def kernel(d1_ref, d2_ref, v1_ref, v2_ref, vals_ref, idx_ref,
+               cvals_ref, cidx_ref):
+        m = pl.program_id(2)
+        n = pl.program_id(1)
+        d1 = d1_ref[0]  # (tn, D)
+        d2 = d2_ref[0]  # (tm, D)
+        v1 = v1_ref[0]  # (tn, 1)
+        v2 = v2_ref[0]  # (1, tm)
+        sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(v2 > 0, sim, -2.0)
+
+        # --- per-row top-2 (same as _make_topk2_kernel)
+        local_b = jnp.max(sim, axis=1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        local_i_rel = jnp.min(
+            jnp.where(sim >= local_b[:, None], col_ids, tm), axis=1
+        )
+        sim_wo = jnp.where(col_ids == local_i_rel[:, None], -2.0, sim)
+        local_s = jnp.max(sim_wo, axis=1)
+        local_i = local_i_rel + m * tm
+
+        @pl.when(m == 0)
+        def _():
+            vals_ref[0] = jnp.full(vals_ref.shape[1:], -2.0, jnp.float32)
+            idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+        b_old = vals_ref[0, :, 0]
+        s_old = vals_ref[0, :, 1]
+        i_old = idx_ref[0, :, 0]
+        new_b = jnp.maximum(b_old, local_b)
+        new_s = jnp.maximum(
+            jnp.minimum(b_old, local_b), jnp.maximum(s_old, local_s)
+        )
+        new_i = jnp.where(local_b > b_old, local_i, i_old)
+        vals_ref[0, :, 0] = new_b
+        vals_ref[0, :, 1] = new_s
+        idx_ref[0, :, 0] = new_i
+
+        # --- per-column max/argmax partial over this row block
+        sim_r = jnp.where(v1 > 0, sim, -2.0)  # mask invalid d1 rows
+        col_b = jnp.max(sim_r, axis=0)  # (tm,)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+        col_i_rel = jnp.min(
+            jnp.where(sim_r >= col_b[None, :], row_ids, tn), axis=0
+        )
+        cvals_ref[0, 0] = col_b
+        cidx_ref[0, 0] = col_i_rel + n * tn
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_topk2_colmax(
+    d1: jax.Array,  # (P, N, D) float32, rows L2-normalized
+    d2: jax.Array,  # (P, M, D)
+    valid1: jax.Array,  # (P, N) bool
+    valid2: jax.Array,  # (P, M) bool
+    interpret: bool = False,
+):
+    """(best, second, best_idx, col_best_row): row top-2 AND the exact
+    column argmax (cross-check backward direction) in one similarity pass."""
+    P, N, D = d1.shape
+    M = d2.shape[1]
+    assert N % TN == 0 and M % TM == 0, (N, M)
+    tn = _pick_tile(N)
+    tm = _pick_tile(M)
+    n_nt, n_mt = N // tn, M // tm
+    v1 = valid1.astype(jnp.float32).reshape(P, N, 1)
+    v2 = valid2.astype(jnp.float32).reshape(P, 1, M)
+
+    grid = (P, n_nt, n_mt)
+    out_shape = [
+        jax.ShapeDtypeStruct((P, N, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, N, 128), jnp.int32),
+        jax.ShapeDtypeStruct((P, n_nt, M), jnp.float32),
+        jax.ShapeDtypeStruct((P, n_nt, M), jnp.int32),
+    ]
+    vals, idx, cvals, cidx = pl.pallas_call(
+        _make_topk2_colmax_kernel(tn, tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tn, D), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tm, D), lambda p, n, m: (p, m, 0)),
+            pl.BlockSpec((1, tn, 1), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, 0, m)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, n, m)),
+            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, n, m)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(d1, d2, v1, v2)
+    # Merge column partials over the N/tn row blocks (first occurrence of
+    # the max wins — argmax returns the lowest block, matching the
+    # two-pass kernel's tie rule).
+    blk = jnp.argmax(cvals, axis=1)  # (P, M)
+    col_row = jnp.take_along_axis(cidx, blk[:, None, :], axis=1)[:, 0]
+    return vals[..., 0], vals[..., 1], idx[..., 0], col_row
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cross_check", "interpret")
+    jax.jit, static_argnames=("cross_check", "interpret", "fused_cross")
 )
 def pallas_match_pairs(
     d1: jax.Array,  # (P, N, D)
@@ -283,9 +400,17 @@ def pallas_match_pairs(
     max_distance: float = 0.7,
     cross_check: bool = True,
     interpret: bool = False,
+    fused_cross: bool = True,
 ):
     """Drop-in replacement for ``match_pairs_batched`` -> (P, N) int32."""
-    best, second, best_idx = pallas_topk2(d1, d2, valid2, interpret=interpret)
+    if cross_check and fused_cross:
+        best, second, best_idx, col_row = pallas_topk2_colmax(
+            d1, d2, valid1, valid2, interpret=interpret
+        )
+    else:
+        best, second, best_idx = pallas_topk2(
+            d1, d2, valid2, interpret=interpret
+        )
 
     dist_best = jnp.arccos(jnp.clip(best, -1.0, 1.0))
     dist_second = jnp.arccos(jnp.clip(second, -1.0, 1.0))
@@ -294,8 +419,11 @@ def pallas_match_pairs(
     keep &= dist_best <= max_ratio * dist_second
 
     if cross_check:
-        b21, _, i21 = pallas_topk2(d2, d1, valid1, interpret=interpret)
         n = d1.shape[1]
+        if fused_cross:
+            i21 = col_row
+        else:
+            _, _, i21 = pallas_topk2(d2, d1, valid1, interpret=interpret)
         # mutual: the best column's best row must be this row.
         back = jnp.take_along_axis(i21, best_idx, axis=1)
         keep &= back == jnp.arange(n, dtype=back.dtype)[None]
