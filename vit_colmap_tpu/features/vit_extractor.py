@@ -78,6 +78,7 @@ class ViTExtractor(BaseExtractor):
         pca_path: Optional[str] = None,
         pca_fit_images: int = 8,
         transfer_format: str = "rgb",  # "rgb" | "yuv420" (see ops/transfer.py)
+        quantize: str = "none",  # "none" | "int8" (QKVO+MLP on int8 MXU)
     ):
         self.backbone_name = backbone
         self.max_keypoints = max_keypoints
@@ -94,7 +95,7 @@ class ViTExtractor(BaseExtractor):
         # Frozen inference: the fixed-max single-pass attention kernel
         # (no backward pass needed; 1.3x over generic flash on v5e).
         self.model, self.cfg = make_backbone(
-            backbone, dtype=dtype, attn_impl="fixedmax"
+            backbone, dtype=dtype, attn_impl="fixedmax", quantize=quantize
         )
         key = jax.random.key(seed)
         if weights_path:

@@ -55,6 +55,9 @@ class ViTConfig:
     # Grid size the pretrained pos-embed was trained at (518/14 = 37).
     pretrain_grid: int = 37
     dtype: Any = jnp.bfloat16
+    # "none" | "int8": int8 MXU path for the transformer matmuls
+    # (QKVO + MLP), inference only — see QuantDense.
+    quantize: str = "none"
     # Attention implementation: "auto" (flash on TPU for long sequences),
     # "xla", "flash", or "fixedmax".  Flash = generic Pallas fused attention
     # (differentiable; measured 1.8x over XLA at 9.7K tokens on v5e).
@@ -69,6 +72,58 @@ class ViTConfig:
         if name not in VIT_CONFIGS:
             raise ValueError(f"Unknown backbone {name!r}; options: {list(VIT_CONFIGS)}")
         return cls(**{**VIT_CONFIGS[name], **overrides})
+
+
+class QuantDense(nn.Module):
+    """int8 MXU dense: per-output-channel int8 weights, dynamic per-tensor
+    int8 activations, fp32 accumulation + dequant.
+
+    v5e's MXU runs int8 at 2x bf16 peak (measured 410 TOPS vs 207 TFLOP/s,
+    docs/PERFORMANCE.md).  Parameters keep nn.Dense's exact pytree
+    ('kernel' f32 (in, out), 'bias'), so torch->flax conversion and every
+    checkpoint path are untouched; quantization happens in-graph (an
+    abs-max + round over the weight is ~1e-4 of the matmul FLOPs).  Only
+    sensible for the FROZEN inference path (rounding has no gradient).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        # Per-output-channel weight scales.
+        s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-12) / 127.0
+        w8 = jnp.round(kernel / s_w).astype(jnp.int8)
+        # Dynamic per-tensor activation scale.
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        lead = x8.shape[:-1]
+        acc = jax.lax.dot_general(
+            x8.reshape(-1, in_dim),
+            w8,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (s_x * s_w) + bias
+        return y.reshape(*lead, self.features).astype(self.dtype)
+
+
+def _dense(c: "ViTConfig", features: int, name: str):
+    """nn.Dense or QuantDense for the transformer matmuls per cfg.quantize."""
+    if c.quantize == "int8":
+        return QuantDense(features, dtype=c.dtype, name=name)
+    return nn.Dense(features, dtype=c.dtype, name=name)
 
 
 class LayerScale(nn.Module):
@@ -136,7 +191,7 @@ class Attention(nn.Module):
         c = self.cfg
         B, N, D = x.shape
         head_dim = c.embed_dim // c.num_heads
-        qkv = nn.Dense(3 * c.embed_dim, dtype=c.dtype, name="qkv")(x)
+        qkv = _dense(c, 3 * c.embed_dim, "qkv")(x)
         qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         # (B, H, N, d)
@@ -163,7 +218,7 @@ class Attention(nn.Module):
             )
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
-        return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(out)
+        return _dense(c, c.embed_dim, "proj")(out)
 
 
 class Mlp(nn.Module):
@@ -176,13 +231,13 @@ class Mlp(nn.Module):
         if c.swiglu:
             # DINOv2-g SwiGLU ffn: hidden rounded to multiple of 8 of 2/3 rule
             hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
-            w12 = nn.Dense(2 * hidden, dtype=c.dtype, name="w12")(x)
+            w12 = _dense(c, 2 * hidden, "w12")(x)
             x1, x2 = jnp.split(w12, 2, axis=-1)
             h = nn.silu(x1) * x2
-            return nn.Dense(c.embed_dim, dtype=c.dtype, name="w3")(h)
-        h = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+            return _dense(c, c.embed_dim, "w3")(h)
+        h = _dense(c, hidden, "fc1")(x)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(h)
+        return _dense(c, c.embed_dim, "fc2")(h)
 
 
 class Block(nn.Module):
@@ -305,12 +360,14 @@ def make_backbone(
     dtype=jnp.bfloat16,
     num_register_tokens: int = 0,
     attn_impl: str = "auto",
+    quantize: str = "none",
 ) -> tuple[DinoV2, ViTConfig]:
     cfg = ViTConfig.named(
         name,
         dtype=dtype,
         num_register_tokens=num_register_tokens,
         attn_impl=attn_impl,
+        quantize=quantize,
     )
     return DinoV2(cfg), cfg
 

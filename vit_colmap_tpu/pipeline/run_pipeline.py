@@ -73,6 +73,7 @@ class Pipeline:
                 image_batch=self.config.extractor.image_batch,
                 pca_path=self.config.extractor.pca_path,
                 transfer_format=self.config.extractor.transfer_format,
+                quantize=self.config.extractor.quantize,
             )
         if etype == "hybrid":
             from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
@@ -320,6 +321,8 @@ def main(argv: Optional[list[str]] = None) -> None:
                     help="persisted PCA projection (.npz), fit+saved on first use")
     ap.add_argument("--transfer-format", choices=["rgb", "yuv420"], default=None,
                     help="image host->device transfer encoding (yuv420 halves bytes)")
+    ap.add_argument("--quantize", choices=["none", "int8"], default=None,
+                    help="backbone matmul precision (int8 = 2x MXU peak on v5e)")
     ap.add_argument("--min-num-matches", type=int, default=None)
     ap.add_argument("--shard-descriptors", action="store_true",
                     help="multi-chip scale-out memory mode: keep descriptors "

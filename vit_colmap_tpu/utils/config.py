@@ -140,6 +140,9 @@ class ExtractorConfig:
     # Host->device image transfer: "rgb" (exact) or "yuv420" (1.5 B/px,
     # device-side reconstruction; for bandwidth-limited links).
     transfer_format: str = "rgb"
+    # Backbone matmul precision: "none" (bf16) or "int8" (2x MXU peak on
+    # v5e; per-channel weights + dynamic per-tensor activations).
+    quantize: str = "none"
 
 
 @dataclass
@@ -180,6 +183,8 @@ class Config:
             config.extractor.pca_path = str(args.pca_path)
         if getattr(args, "transfer_format", None):
             config.extractor.transfer_format = args.transfer_format
+        if getattr(args, "quantize", None):
+            config.extractor.quantize = args.quantize
         if getattr(args, "shard_descriptors", False):
             config.matching.shard_descriptors = True
         if getattr(args, "skip_matching", False):
