@@ -10,14 +10,14 @@ blocks pad 9,690 tokens to 10,240 on both axes: ~12% wasted MXU work).
 This kernel exploits two facts about *inference on a frozen model*:
 
 1. Attention logits are bounded (LayerNorm'd q/k, fixed weights), so the
-   numerically-safe running max can be replaced by a FIXED offset:
-   ``p = exp2(s * log2e * scale - OFFSET)``.  Softmax is shift-invariant,
-   so the result is exact as long as ``exp2`` neither overflows (logits
-   would need to exceed ~2^7 = 128 ≈ the fp32 exp overflow bound — we
-   clamp) nor underflows to a degree that matters (underflow means the
-   softmax weight is < 2^-126+OFFSET ≈ 0 anyway).  This deletes the
+   numerically-safe running max can be dropped entirely: softmax is
+   shift-invariant, so any shared constant factor cancels in acc/denom,
+   and a clamp at 100 (in the exp2 domain) guards fp32 overflow — a
+   frozen ViT's scaled logits stay far below it.  This deletes the
    per-block max pass, the comparison, and the accumulator rescale — the
-   VPU work that capped the generic kernel at ~72 TFLOP/s.
+   VPU work that capped the generic kernel at ~72 TFLOP/s.  The softmax
+   scale and the exp->exp2 conversion are prefolded into q (one multiply
+   per q element instead of one per score element).
 
 2. The softmax denominator is a row-sum of p, which the MXU computes for
    free: V is extended with a ones column to 128 lanes (a (bq, bkv) @
@@ -27,8 +27,9 @@ This kernel exploits two facts about *inference on a frozen model*:
    nothing else.
 
 Measured on v5e at the pipeline shape (B=2, H=12, N=9690, d=64):
-5.03 ms/layer vs 8.82 ms for the best-tuned generic flash kernel (1.75x),
-115 TFLOP/s on useful (unpadded) FLOPs.
+6.71 ms/layer vs 8.82 ms for the best-tuned generic flash kernel (1.31x,
+86 TFLOP/s on useful FLOPs) before the scale prefold; the remaining gap
+to the 165 TFLOP/s matmul-pair rate is VPU exp2 — the irreducible cost.
 
 Inference-only: no backward pass.  Training uses the generic flash kernel
 (``models/dinov2._flash_attention``) which has a VJP.
@@ -51,10 +52,10 @@ _CLAMP = 100.0
 
 LOG2E = math.log2(math.e)
 
-# Block sizes: small q blocks minimize pad waste (9690 -> 9728 is 0.4% vs
-# 10240 = 5.7% at bq=2048); v5e sweep showed bq=512/bkv=1024 best (see
-# scripts/sweep_attention.py --fixedmax).
-_BLOCK_Q = 512
+# Block sizes: the v5e sweep at N=9690 showed q2048/kv1024 fastest
+# (6.71 ms) despite its ~12% pad waste — per-block overhead dominates pad
+# waste, so large blocks win (q512/kv512 = 8.91, q1024/kv1024 = 7.16).
+_BLOCK_Q = 2048
 _BLOCK_KV = 1024
 
 
@@ -80,9 +81,9 @@ def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     @pl.when(ik == nkv - 1)
     def _mask():
         col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + ik * bkv
-        nonlocal_p = jnp.where(col < n_valid, p, 0.0)
+        p_masked = jnp.where(col < n_valid, p, 0.0)
         acc_ref[...] += jax.lax.dot_general(
-            nonlocal_p.astype(jnp.bfloat16),
+            p_masked.astype(jnp.bfloat16),
             vext_ref[0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -121,6 +122,12 @@ def fixed_max_attention(
     if d > 64:
         raise ValueError("fixed_max_attention is specialized for head_dim <= 64")
     BH = B * H
+    # Shrink blocks for short sequences (a 2048 q block on 1024 tokens
+    # would pad 50%); floors at 256 to keep MXU tiles efficient.
+    while block_q // 2 >= N and block_q > 256:
+        block_q //= 2
+    while block_kv // 2 >= N and block_kv > 256:
+        block_kv //= 2
     nq = -(-N // block_q)
     nkv = -(-N // block_kv)
     Nq, Nkv = nq * block_q, nkv * block_kv
