@@ -27,9 +27,9 @@ This kernel exploits two facts about *inference on a frozen model*:
    nothing else.
 
 Measured on v5e at the pipeline shape (B=2, H=12, N=9690, d=64):
-6.71 ms/layer vs 8.82 ms for the best-tuned generic flash kernel (1.31x,
-86 TFLOP/s on useful FLOPs) before the scale prefold; the remaining gap
-to the 165 TFLOP/s matmul-pair rate is VPU exp2 — the irreducible cost.
+4.00 ms/layer (144 TFLOP/s on useful FLOPs) vs 8.82 ms for the
+best-tuned generic flash kernel — 2.2x, and within 13% of the raw
+QK+PV matmul-pair rate (165 TFLOP/s) measured outside any kernel.
 
 Inference-only: no backward pass.  Training uses the generic flash kernel
 (``models/dinov2._flash_attention``) which has a VJP.
@@ -52,10 +52,10 @@ _CLAMP = 100.0
 
 LOG2E = math.log2(math.e)
 
-# Block sizes: the v5e sweep at N=9690 showed q2048/kv1024 fastest
-# (6.71 ms) despite its ~12% pad waste — per-block overhead dominates pad
-# waste, so large blocks win (q512/kv512 = 8.91, q1024/kv1024 = 7.16).
-_BLOCK_Q = 2048
+# Block sizes: with the q-prefold, q1024/kv1024 measures 4.00 ms
+# (144 TFLOP/s) at N=9690 on v5e — q2048 is 7.18 ms (the 2048x1024 fp32
+# score block pressures VMEM and stalls the pipeline).
+_BLOCK_Q = 1024
 _BLOCK_KV = 1024
 
 

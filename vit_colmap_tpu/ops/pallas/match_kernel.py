@@ -330,8 +330,8 @@ def _make_topk2_colmax_kernel(tn: int, tm: int):
         col_i_rel = jnp.min(
             jnp.where(sim_r >= col_b[None, :], row_ids, tn), axis=0
         )
-        cvals_ref[0, 0] = col_b
-        cidx_ref[0, 0] = col_i_rel + n * tn
+        cvals_ref[0, 0, 0] = col_b
+        cidx_ref[0, 0, 0] = col_i_rel + n * tn
 
     return kernel
 
@@ -356,11 +356,16 @@ def pallas_topk2_colmax(
     v2 = valid2.astype(jnp.float32).reshape(P, 1, M)
 
     grid = (P, n_nt, n_mt)
+    # Column partials carry a singleton axis before the minor dim: TPU
+    # lowering requires the block's last-two dims to divide (8, 128) or
+    # equal the array dims — (1, 1, 1, tm) on (P, n_nt, 1, M) satisfies
+    # that (1 == dim, tm % 128 == 0), while (1, 1, tm) on (P, n_nt, M)
+    # does not (1 != n_nt, 1 % 8 != 0).
     out_shape = [
         jax.ShapeDtypeStruct((P, N, 128), jnp.float32),
         jax.ShapeDtypeStruct((P, N, 128), jnp.int32),
-        jax.ShapeDtypeStruct((P, n_nt, M), jnp.float32),
-        jax.ShapeDtypeStruct((P, n_nt, M), jnp.int32),
+        jax.ShapeDtypeStruct((P, n_nt, 1, M), jnp.float32),
+        jax.ShapeDtypeStruct((P, n_nt, 1, M), jnp.int32),
     ]
     vals, idx, cvals, cidx = pl.pallas_call(
         _make_topk2_colmax_kernel(tn, tm),
@@ -374,12 +379,14 @@ def pallas_topk2_colmax(
         out_specs=[
             pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
             pl.BlockSpec((1, tn, 128), lambda p, n, m: (p, n, 0)),
-            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, n, m)),
-            pl.BlockSpec((1, 1, tm), lambda p, n, m: (p, n, m)),
+            pl.BlockSpec((1, 1, 1, tm), lambda p, n, m: (p, n, 0, m)),
+            pl.BlockSpec((1, 1, 1, tm), lambda p, n, m: (p, n, 0, m)),
         ],
         out_shape=out_shape,
         interpret=interpret,
     )(d1, d2, v1, v2)
+    cvals = cvals[:, :, 0]  # (P, n_nt, M)
+    cidx = cidx[:, :, 0]
     # Merge column partials over the N/tn row blocks (first occurrence of
     # the max wins — argmax returns the lowest block, matching the
     # two-pass kernel's tie rule).

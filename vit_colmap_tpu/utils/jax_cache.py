@@ -26,6 +26,15 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     try:
         import jax
 
+        # TPU-backend only: in this environment CPU programs can be
+        # compiled by the REMOTE compile service for a different CPU
+        # microarchitecture; loading such an AOT result from the cache
+        # SIGILLs/SIGSEGVs the process (observed in the test suite).  The
+        # cache's entire value is skipping the 20-40 s remote TPU
+        # compiles anyway.
+        if jax.default_backend() in ("cpu", "gpu"):
+            return
+
         path = cache_dir or os.environ.get(
             "VIT_COLMAP_TPU_CACHE_DIR", _DEFAULT_DIR
         )
