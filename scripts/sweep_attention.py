@@ -126,6 +126,19 @@ def main():
     def report(name, ms):
         print(f"{name:<28} {ms:8.2f} ms  {flops / ms / 1e9:7.1f} TFLOP/s")
 
+    from vit_colmap_tpu.ops.pallas.attention_kernel import fixed_max_attention
+
+    def fixedmax(qq, kk, vv, *, bq, bkv):
+        return fixed_max_attention(qq, kk, vv, SCALE, block_q=bq, block_kv=bkv)
+
+    for bq, bkv in ((512, 512), (512, 1024), (1024, 512), (1024, 1024),
+                    (1024, 2048), (2048, 1024)):
+        try:
+            report(f"fixedmax q{bq} kv{bkv}",
+                   bench(partial(fixedmax, bq=bq, bkv=bkv), q, k, v))
+        except Exception as e:
+            print(f"fixedmax q{bq} kv{bkv} FAILED: {str(e)[:120]}")
+
     report("xla", bench(xla_attn, q, k, v))
     for bq, bk in ((512, 512), (1024, 1024), (512, 1024), (1024, 512),
                    (2048, 1024), (1024, 2048), (2048, 2048)):

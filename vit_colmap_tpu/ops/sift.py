@@ -529,6 +529,7 @@ def extract_sift(
     B, H, W = gray.shape
     per_oct = max(max_keypoints // num_octaves, 64)
     results = [[] for _ in range(B)]
+    pending = []  # per-octave device arrays, synced after the loop
 
     img = jnp.asarray(gray)
     base_factor = 1.0
@@ -585,9 +586,17 @@ def extract_sift(
             fm, xy, level, orient, win_px, Ho, Wo
         )
 
+        # Keep octave outputs on device; sync once after the loop so the
+        # device pipelines all octaves back-to-back (each np.asarray here
+        # used to cost a full host<->device round trip per octave).
+        factor = base_factor * 2**o
+        pending.append((factor, xy, orient, sigma_kp, valid, desc, score))
+        # Downsample for the next octave.
+        img = gauss[:, num_scales][:, ::2, ::2]
+
+    for factor, xy, orient, sigma_kp, valid, desc, score in pending:
         xy_np = np.asarray(xy)
         orient_np = np.asarray(orient)
-        factor = base_factor * 2**o
         scale_np = np.asarray(sigma_kp) * factor
         valid_np = np.asarray(valid)
         desc_np = np.asarray(desc)
@@ -605,8 +614,6 @@ def extract_sift(
                     axis=1,
                 ).astype(np.float32)
                 results[b].append((kp, desc_np[b, v], score_np[b, v]))
-        # Downsample for the next octave.
-        img = gauss[:, num_scales][:, ::2, ::2]
 
     kpts_out, desc_out = [], []
     for b in range(B):
