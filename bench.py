@@ -122,12 +122,13 @@ def run_bench(
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
             ex_pending.append((pad, ex.extract_batch_async(chunk)))
-        # DB-bound readbacks, overlapped against the still-running batches.
-        db_arrays = [
-            np.asarray(a)
-            for pad, (xy, sc, v, d) in ex_pending
-            for a in (xy, sc, v, d)
-        ]
+        # Start D2H of every output NOW (non-blocking): copies drain into
+        # wire gaps while later batches compute.  Blocking np.asarray at
+        # the end then mostly hits completed copies.
+        for pad, outs in ex_pending:
+            for a in outs:
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
         desc_dev = jnp.concatenate(
             [d for pad, (_, _, _, d) in ex_pending], axis=0
         )[:num_images]
@@ -152,6 +153,15 @@ def run_bench(
                 jnp.take(valid_dev, jj, 0),
             )
             match_pending.append((len(chunk), compact_matches_device(out)))
+        # DB-bound readbacks (keypoints/scores/validity/descriptors) ride
+        # the wire WHILE matching computes on device — the wire is idle
+        # during match compute, so this is free pipeline overlap.  (The
+        # pipeline CLI gets the same overlap from its pending-list sink.)
+        db_arrays = [
+            np.asarray(a)
+            for pad, (xy, sc, v, d) in ex_pending
+            for a in (xy, sc, v, d)
+        ]
         n_matches = 0
         for n_real, (cnts, packed) in match_pending:
             cnts = np.asarray(cnts)[:n_real]

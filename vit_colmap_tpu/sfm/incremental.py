@@ -20,6 +20,7 @@ writes COLMAP-format sparse models to ``output_path/<idx>/``.
 from __future__ import annotations
 
 import logging
+import time
 from pathlib import Path
 
 import jax
@@ -786,25 +787,40 @@ def incremental_mapping(
 
         stalled = 0
         last_global_size = 2
+        # Per-substep wall-clock accounting (find/register/triangulate/
+        # local BA/global BA) — the mapper is the reconstruction
+        # bottleneck at DTU scale; this names the cost.
+        t_sub = {k: 0.0 for k in ("find", "register", "tri", "lba", "gba")}
+
+        def _timed(key, fn, *a, **kw):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            t_sub[key] += time.perf_counter() - t0
+            return out
+
         while True:
-            iid, corrs = mapper.find_next_image()
+            iid, corrs = _timed("find", mapper.find_next_image)
             if iid is None:
                 break
-            if not mapper.register_image(iid, corrs):
+            if not _timed("register", mapper.register_image, iid, corrs):
                 stalled += 1
                 if stalled > 2:
                     break
                 continue
             stalled = 0
-            mapper.triangulate_new(iid)
+            _timed("tri", mapper.triangulate_new, iid)
             # Local BA after every registration (cheap, bucketed shapes);
             # global BA only when the model grew enough (COLMAP schedule) —
             # the global LM stays out of the inner loop (VERDICT r1 item 5).
-            mapper.local_bundle_adjust(iid)
+            _timed("lba", mapper.local_bundle_adjust, iid)
             if len(state.poses) >= config.global_ba_growth * last_global_size:
-                mapper.bundle_adjust(iters=config.ba_local_iters)
-                mapper.filter_points()
+                _timed("gba", mapper.bundle_adjust, iters=config.ba_local_iters)
+                _timed("gba", mapper.filter_points)
                 last_global_size = len(state.poses)
+        logger.info(
+            "Mapper substep seconds: %s",
+            {k: round(v, 1) for k, v in t_sub.items()},
+        )
 
         # Final iterative refinement (COLMAP-style): retriangulate features
         # that gained geometry during the build, then global BA + filter.
