@@ -52,14 +52,14 @@ _CLAMP = 100.0
 
 LOG2E = math.log2(math.e)
 
-# Block sizes: with the q-prefold, q1024/kv1024 measures 4.00 ms
-# (144 TFLOP/s) at N=9690 on v5e — q2048 is 7.18 ms (the 2048x1024 fp32
-# score block pressures VMEM and stalls the pipeline).
-_BLOCK_Q = 1024
+# Block sizes: judged by IN-MODEL backbone time (scan-chained standalone
+# timings amortize the wrapper ops and mislead): q2048/kv1024 168 ms vs
+# q1024 193 ms vs q512 176 ms per vitb14 2-image forward on v5e.
+_BLOCK_Q = 2048
 _BLOCK_KV = 1024
 
 
-def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
+def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -77,6 +77,20 @@ def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     # fp32 overflow (exp2(100)*N*|v| < 2^128 for realistic activations).
     p = jnp.exp2(jnp.minimum(s, _CLAMP))
 
+    # [V | 1 | 0] built per block IN VMEM (a (bkv, 128) copy — building it
+    # host-side materialized a full (BH, N, 128) HBM tensor per call,
+    # ~5 ms/layer of wrapper traffic).  ones at col 64 -> the PV matmul
+    # accumulates the softmax denominator in acc[:, 64] for free.
+    v = v_ref[0]          # (bkv, 64) bf16
+    vext = jnp.concatenate(
+        [
+            v,
+            jnp.ones((v.shape[0], 1), v.dtype),
+            jnp.zeros((v.shape[0], 63), v.dtype),
+        ],
+        axis=1,
+    )
+
     # Mask kv pad columns (only the last block contains any).
     @pl.when(ik == nkv - 1)
     def _mask():
@@ -84,7 +98,7 @@ def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
         p_masked = jnp.where(col < n_valid, p, 0.0)
         acc_ref[...] += jax.lax.dot_general(
             p_masked.astype(jnp.bfloat16),
-            vext_ref[0],
+            vext,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -93,7 +107,7 @@ def _kernel(q_ref, k_ref, vext_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     def _accum():
         acc_ref[...] += jax.lax.dot_general(
             p.astype(jnp.bfloat16),
-            vext_ref[0],
+            vext,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -144,13 +158,7 @@ def fixed_max_attention(
         vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 64 - d)))
     qf = jnp.pad(qf, ((0, 0), (0, Nq - N), (0, 0)))
     kf = jnp.pad(kf, ((0, 0), (0, Nkv - N), (0, 0)))
-    # V extended to 128 lanes: [V | ones | zeros].  ones at col 64 -> the
-    # PV matmul accumulates the softmax denominator in acc[:, 64].
-    ones = jnp.ones((BH, N, 1), vf.dtype)
-    vext = jnp.concatenate(
-        [vf, ones, jnp.zeros((BH, N, 63), vf.dtype)], axis=-1
-    )
-    vext = jnp.pad(vext, ((0, 0), (0, Nkv - N), (0, 0)))
+    vf = jnp.pad(vf, ((0, 0), (0, Nkv - N), (0, 0)))
 
     kernel = functools.partial(_kernel, n_valid=N, bkv=block_kv, nkv=nkv)
     out = pl.pallas_call(
@@ -159,7 +167,7 @@ def fixed_max_attention(
         in_specs=[
             pl.BlockSpec((1, block_q, 64), lambda b, iq, ik: (b, iq, 0)),
             pl.BlockSpec((1, block_kv, 64), lambda b, iq, ik: (b, ik, 0)),
-            pl.BlockSpec((1, block_kv, 128), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_kv, 64), lambda b, iq, ik: (b, ik, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, 64), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, Nq, 64), q.dtype),
@@ -168,5 +176,5 @@ def fixed_max_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vext)
+    )(qf, kf, vf)
     return out[:, :N, :d].reshape(B, H, N, d)
