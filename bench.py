@@ -194,7 +194,7 @@ def run_bench(
     else:
         staged = jnp.asarray(imgs[: ex.image_batch])
     reps = max(num_images // ex.image_batch, 1)
-    ex.extract_batch_async(np.asarray(staged), packed=ex.transfer_format == "yuv420")
+    ex.extract_batch_async(staged, packed=ex.transfer_format == "yuv420")
     t0 = time.perf_counter()
     outs = [
         ex.extract_batch_async(

@@ -247,7 +247,10 @@ class ViTExtractor(BaseExtractor):
         if self._forward is None:
             self._forward = self._build_forward()
         dense_features, detect_and_describe, fused = self._forward
-        images_u8 = np.asarray(images_u8)
+        if not isinstance(images_u8, jax.Array):
+            # Keep device-resident inputs device-resident (coercing a jax
+            # array through numpy would round-trip it over the host link).
+            images_u8 = np.asarray(images_u8)
         if self.transfer_format == "yuv420" and not packed:
             from vit_colmap_tpu.ops.transfer import pack_batch_yuv420
 
