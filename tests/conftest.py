@@ -34,18 +34,3 @@ from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
-
-# The XLA:CPU compiler segfaults sporadically when compiling the larger
-# SIFT programs late in a long session (hundreds of live executables from
-# ~25 prior modules; neither suite half reproduces it alone).  Dropping
-# compiled-program caches between modules bounds that accumulated state;
-# module-local programs recompile anyway, so the cost is small.
-import pytest  # noqa: E402
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    yield
-    import jax as _jax
-
-    _jax.clear_caches()

@@ -141,3 +141,18 @@ def test_single_orientation_unchanged_by_flag():
         if key in prim and abs(prim[key] - o) < 1e-4:
             matched += 1
     assert matched >= min(len(kp1[0]), 3)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """The XLA:CPU compiler segfaults compiling this module's larger SIFT
+    programs when hundreds of executables from ~25 prior modules are live
+    (reproduced twice in full-suite runs; neither suite half triggers it
+    alone).  Clearing compiled-program caches just before this module
+    bounds that state at negligible cost (a global per-module clear made
+    the suite recompile the multi-minute verification programs and blew
+    the runtime)."""
+    import jax
+
+    jax.clear_caches()
+    yield
