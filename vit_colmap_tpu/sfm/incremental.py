@@ -483,7 +483,10 @@ class IncrementalMapper:
         neighbors = sorted(shared, key=lambda o: -shared[o])
         variable = [iid] + neighbors[: self.cfg.local_ba_num_images - 1]
         return self.bundle_adjust(
-            iters=iters or self.cfg.ba_local_iters, variable_imgs=variable,
+            iters=iters
+            or getattr(self.cfg, "ba_local_inner_iters", None)
+            or self.cfg.ba_local_iters,
+            variable_imgs=variable,
             refine_focal=False,
         )
 

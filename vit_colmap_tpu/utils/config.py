@@ -104,6 +104,10 @@ class ReconstructionConfig:
     max_models: int = 50
     ba_local_iters: int = 25
     ba_global_iters: int = 50
+    # Per-registration local BA LM budget (COLMAP AdjustLocalBundle runs
+    # few iterations; the global passes polish).  Measured 353 s of the
+    # DTU-50 mapper at 25 iters — the dominant mapper substep.
+    ba_local_inner_iters: int = 12
     ba_refine_focal: bool = True
     # Refine radial distortion (COLMAP BundleAdjustment refine_extra_params):
     # k1 for SIMPLE_RADIAL, k1+k2 for RADIAL, gated like focal on cameras
