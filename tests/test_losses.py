@@ -86,6 +86,103 @@ def test_total_loss_runs_and_weights_by_confidence():
         assert k in out.components
 
 
+def test_near_collapsed_head_gets_escape_gradient():
+    """The round-2 collapse: a (nearly) constant descriptor head pins the
+    triplet at the margin with ~zero gradient.  The InfoNCE + variance terms
+    must supply a strong restoring gradient in that neighborhood."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    K, Din, D = 16, 24, 32
+    x = jnp.asarray(rng.standard_normal((K, Din)).astype(np.float32))
+
+    def loss_of_head(params, lambda_nce, lambda_var):
+        W, b = params
+        # Near-collapsed linear head: output dominated by the bias, with the
+        # anchor/positive/negative sets all drawn from the SAME head (as in
+        # training, where negatives come from the descriptor map).
+        d = x @ W + b  # (K, D)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        desc = d[None]  # (1, K, D)
+        negs = jnp.stack(
+            [jnp.roll(d, s, axis=0) for s in (1, 2, 3, 4)], axis=1
+        )[None]  # (1, K, 4, D)
+        total, _ = descriptor_loss(
+            desc, desc, negs, lambda_nce=lambda_nce, lambda_var=lambda_var
+        )
+        return total
+
+    W0 = jnp.asarray(1e-4 * rng.standard_normal((Din, D)).astype(np.float32))
+    b0 = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    # Reference-equivalent losses (no anti-collapse terms): dead gradient —
+    # pos_sim == neg_sim == 1 up to O(1e-4), triplet pinned at the margin.
+    g_old = jax.grad(loss_of_head)((W0, b0), 0.0, 0.0)
+    old_norm = float(sum(jnp.sum(g * g) for g in g_old)) ** 0.5
+    # With the anti-collapse terms: strong escape gradient (the variance
+    # hinge's d(std)/dW blows up as 1/std near the collapsed point).
+    g_new = jax.grad(loss_of_head)((W0, b0), 1.0, 1.0)
+    new_norm = float(sum(jnp.sum(g * g) for g in g_new)) ** 0.5
+    assert new_norm > 100 * max(old_norm, 1e-9)
+    # And the telemetry flags the collapse directly.
+    d = (x @ W0 + b0)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    desc = d[None]
+    negs = jnp.stack([jnp.roll(d, s, axis=0) for s in (1, 2)], axis=1)[None]
+    _, parts = descriptor_loss(desc, desc, negs)
+    assert float(parts["desc_std"]) < 1e-2
+    assert float(parts["variance_loss"]) > 0.9
+
+
+def test_detector_pos_weight_penalizes_all_background():
+    """All-background scores must not be a near-optimum of the detector BCE
+    (it was, under the reference's unweighted mean over ~19k cells)."""
+    rng = np.random.default_rng(4)
+    B, H, W = 1, 64, 64
+    target = np.zeros((B, H, W), np.float32)
+    ys, xs = rng.integers(2, H - 2, 12), rng.integers(2, W - 2, 12)
+    target[0, ys, xs] = 1.0
+    orient = np.zeros((B, 4), np.float32)
+    background = np.full((B, H, W), -10.0, np.float32)
+    correct = np.where(target > 0.5, 10.0, -10.0).astype(np.float32)
+    l_bg, parts_bg = detector_loss(background, target, orient, orient)
+    l_ok, _ = detector_loss(correct, target, orient, orient)
+    # Balanced BCE: missing every positive costs ~half the maximum loss,
+    # orders of magnitude above the correct prediction.
+    assert float(l_bg) > 100 * float(l_ok)
+    assert float(parts_bg["score_peak"]) < 0.01  # telemetry sees the collapse
+
+
+def test_confidence_weight_gradient_is_stopped():
+    """The descriptor loss must not reward lowering detection scores at hard
+    points (mute-the-loss leg of the round-2 collapse)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    B, K, N, D, H, W = 1, 8, 4, 16, 10, 12
+    outputs = {
+        "score_logits": jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32),
+        "orient_pred": jnp.zeros((B, K)),
+        "desc1": jnp.asarray(rng.standard_normal((B, K, D)), jnp.float32),
+        "desc2": jnp.asarray(rng.standard_normal((B, K, D)), jnp.float32),
+        "negatives": jnp.asarray(rng.standard_normal((B, K, N, D)), jnp.float32),
+        "score_at_kp": jnp.asarray(rng.standard_normal((B, K)), jnp.float32),
+    }
+    targets = {
+        "score_target": jnp.zeros((B, H, W)),
+        "orient_target": jnp.zeros((B, K)),
+        "kp_mask": jnp.ones((B, K)),
+    }
+
+    def desc_term(score_at_kp):
+        out = dict(outputs, score_at_kp=score_at_kp)
+        return total_loss(out, targets).components["descriptor_loss"]
+
+    g = jax.grad(desc_term)(outputs["score_at_kp"])
+    assert float(jnp.abs(g).max()) == 0.0
+
+
 def test_image_gradients_and_orientation():
     # Horizontal ramp: gradient points in +x => orientation ~ 0.
     ramp = np.tile(np.linspace(0, 1, 32, dtype=np.float32), (16, 1))[None]

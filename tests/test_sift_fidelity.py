@@ -14,7 +14,7 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
-def _warp_pair(seed=0, size=(240, 320)):
+def _warp_pair(seed=0, size=(240, 320), scale=None):
     from vit_colmap_tpu.dataloader.synthetic_benchmark import (
         make_structured_image,
     )
@@ -26,9 +26,10 @@ def _warp_pair(seed=0, size=(240, 320)):
     rng = np.random.default_rng(seed)
     h, w = size
     img1 = make_structured_image(rng, h, w)
-    H = generate_random_homography(
-        w, h, SyntheticHomographyConfig.moderate(), rng
-    )
+    cfg = SyntheticHomographyConfig.moderate()
+    if scale is not None:  # pin the zoom factor (scale-stress cases)
+        cfg.scale_range = (scale, scale)
+    H = generate_random_homography(w, h, cfg, rng)
     img2 = cv2.warpPerspective(img1, H, (w, h))
     return img1, img2, H
 

@@ -27,6 +27,7 @@ def test_train_checkpoint_loads_into_extractor(tmp_path):
     from vit_colmap_tpu.features.trainable_vit_extractor import (
         TrainableViTExtractor,
     )
+    from vit_colmap_tpu.pipeline.match import match_exhaustive
 
     image_dir = tmp_path / "imgs"
     image_dir.mkdir()
@@ -35,24 +36,36 @@ def test_train_checkpoint_loads_into_extractor(tmp_path):
         rng.integers(0, 255, (70, 84, 3), dtype=np.uint8), (0, 0), 1.5
     )
     cv2.imwrite(str(image_dir / "a.png"), img)
+    # A small translation of the same content: a sane (even barely-trained)
+    # extractor must produce matchable keypoints/descriptors across it.
+    M = np.float32([[1, 0, 3], [0, 1, 2]])
+    warped = cv2.warpAffine(img, M, (84, 70), borderMode=cv2.BORDER_REFLECT)
+    cv2.imwrite(str(image_dir / "b.png"), warped)
 
+    # Pipeline-default detection threshold (0.4): the min_keypoints floor —
+    # not a zeroed threshold — must keep an under-trained head alive
+    # (round-2 regression: the floor's 1e-6 score guard defeated it).
     ex = TrainableViTExtractor(
         weights_path=str(ckpt_dir / "best_model"),
         backbone="vits14",
         num_keypoints=64,
-        detection_threshold=0.0,
+        detection_threshold=0.4,
+        min_keypoints=32,
         image_batch=1,
     )
     db_path = tmp_path / "db.db"
     ex.extract(image_dir, db_path, "SIMPLE_RADIAL")
     db = ColmapDatabase(db_path)
-    assert db.num_images == 1
-    iid = next(iter(db.read_images()))
-    k = db.read_keypoints(iid)
-    d = db.read_descriptors(iid)
-    assert k.shape[1] == 6 and len(k) > 0
-    assert d.shape == (len(k), 128)
+    assert db.num_images == 2
+    for iid in db.read_images():
+        k = db.read_keypoints(iid)
+        d = db.read_descriptors(iid)
+        assert k.shape[1] == 6 and len(k) >= 32
+        assert d.shape == (len(k), 128)
     db.close()
+
+    stats = match_exhaustive(db_path)
+    assert stats.total_matches > 0, "trained extractor must match a warped pair"
 
 
 @pytest.mark.slow

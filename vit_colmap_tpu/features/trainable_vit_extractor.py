@@ -147,7 +147,12 @@ class TrainableViTExtractor(BaseExtractor):
             # descending, so >thresh entries form a prefix and the floor is
             # a no-op whenever enough peaks clear it.
             rank = jnp.arange(k, dtype=jnp.int32)[None, :]
-            valid = (top > thresh) | ((rank < min_k) & (top > 1e-6))
+            # The floor's score guard only needs to exclude NMS-suppressed
+            # cells, which are exactly 0 (masked), not low-sigmoid peaks: a
+            # `> 1e-6` guard defeated the floor precisely when an
+            # under-trained head needed it (sigmoid(<-13.8) < 1e-6 ⇒ zero
+            # keypoints — the round-2 bake-off failure mode).
+            valid = (top > thresh) | ((rank < min_k) & (top > 0.0))
 
             def gather(m):
                 flat = m.reshape(B, H4 * W4, -1)

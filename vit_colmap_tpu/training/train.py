@@ -68,6 +68,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--lambda-desc", type=float, default=1.0)
     ap.add_argument("--alpha-orient", type=float, default=0.32)
     ap.add_argument("--margin", type=float, default=0.5)
+    ap.add_argument("--temperature", type=float, default=0.1,
+                    help="InfoNCE softmax temperature")
+    ap.add_argument("--lambda-nce", type=float, default=1.0,
+                    help="InfoNCE weight (anti-collapse)")
+    ap.add_argument("--lambda-var", type=float, default=1.0,
+                    help="descriptor variance-hinge weight (anti-collapse)")
+    ap.add_argument("--pos-weight", type=float, default=None,
+                    help="detector BCE positive weight (default: dynamic)")
     ap.add_argument("--top-k", type=int, default=512)
     ap.add_argument("--num-in-image-neg", type=int, default=8)
     ap.add_argument("--num-cross-neg", type=int, default=4)
@@ -303,6 +311,10 @@ def main(argv: Optional[list[str]] = None) -> None:
             lambda_desc=args.lambda_desc,
             alpha_orient=args.alpha_orient,
             margin=args.margin,
+            temperature=args.temperature,
+            lambda_nce=args.lambda_nce,
+            lambda_var=args.lambda_var,
+            pos_weight=args.pos_weight,
         ),
         batch_kwargs=dict(
             top_k=args.top_k,
