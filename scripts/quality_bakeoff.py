@@ -161,6 +161,16 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
     return str(best if best.exists() else ckpt_dir / "latest")
 
 
+def _weights_label(name: str) -> str:
+    """Honest per-row weights provenance (VERDICT r2 weak 6: random-backbone
+    rows must be labeled in the table, not a footnote)."""
+    if name in ("sift", "dummy", "colmap_sift"):
+        return "n/a (no model)"
+    if name.endswith("_trained"):
+        return "trained heads, RANDOM backbone"
+    return "RANDOM backbone (untrained)"
+
+
 def to_markdown(results: dict) -> str:
     lines = [
         "# Extractor quality bake-off (synthetic benchmarks)",
@@ -169,16 +179,23 @@ def to_markdown(results: dict) -> str:
         f"{results['meta']['device']}; backbone {results['meta']['backbone']} "
         f"({results['meta']['weights_note']}).",
         "",
+        "No pretrained DINOv2 checkpoint exists in this environment, so every"
+        " ViT-family row runs a randomly initialized backbone: those rows"
+        " measure the PIPELINE (detection/matching/verification machinery),"
+        " not semantic feature quality, and must not be read as the"
+        " reference's ViT-vs-SIFT comparison.",
+        "",
         "## HPatches protocol (MMA / homography accuracy)",
         "",
-        "| extractor | pairs | avg matches | MMA@1 | MMA@3 | MMA@5 | "
+        "| extractor | weights | pairs | avg matches | MMA@1 | MMA@3 | MMA@5 | "
         "H-acc@1 | H-acc@3 | H-acc@5 |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results["hpatches"].items():
         m, h = r["mma"], r["homography_accuracy"]
         lines.append(
-            f"| {name} | {r['pairs']} | {r['avg_matches']:.0f} | "
+            f"| {name} | {_weights_label(name)} | {r['pairs']} | "
+            f"{r['avg_matches']:.0f} | "
             f"{m['1.0']:.3f} | {m['3.0']:.3f} | {m['5.0']:.3f} | "
             f"{h['1.0']:.3f} | {h['3.0']:.3f} | {h['5.0']:.3f} |"
         )
@@ -186,15 +203,16 @@ def to_markdown(results: dict) -> str:
         "",
         "## Reconstruction protocol (full pipeline on rendered scene)",
         "",
-        "| extractor | reg. images | 3D points | track len | reproj err | "
-        "inlier ratio | verified pairs | wall clock |",
-        "|---|---|---|---|---|---|---|---|",
+        "| extractor | weights | reg. images | 3D points | track len | "
+        "reproj err | inlier ratio | verified pairs | wall clock |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results["reconstruction"].items():
         rec = r.get("reconstruction") or {}
         mat = r["matching"]
         lines.append(
-            f"| {name} | {rec.get('registered_images', 0)} | "
+            f"| {name} | {_weights_label(name)} | "
+            f"{rec.get('registered_images', 0)} | "
             f"{rec.get('total_3d_points', 0)} | "
             f"{rec.get('avg_track_length', 0):.2f} | "
             f"{rec.get('avg_reprojection_error', 0):.2f}px | "
@@ -227,7 +245,15 @@ def main() -> None:
     ap.add_argument("--skip-recon", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="tiny CPU-sized smoke configuration")
+    ap.add_argument("--md-only", action="store_true",
+                    help="regenerate QUALITY.md from the existing QUALITY.json")
     args = ap.parse_args()
+
+    if args.md_only:
+        results = json.loads((args.work_dir / "QUALITY.json").read_text())
+        (args.work_dir / "QUALITY.md").write_text(to_markdown(results))
+        print(to_markdown(results))
+        return
 
     if args.fast:
         args.height, args.width = 126, 168

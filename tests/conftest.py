@@ -34,3 +34,17 @@ from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
+# XLA:CPU segfaults in backend_compile_and_load once hundreds of live
+# executables from prior modules accumulate (reproduced at ~test 123/164 of
+# single-invocation full-suite runs).  Clearing compiled-program caches at
+# every module boundary bounds that state; with the CPU-local persistent
+# cache above, cross-module recompiles deserialize from disk instead of
+# paying the multi-minute verification-program compiles again.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_executable_state():
+    jax.clear_caches()
+    yield
+

@@ -1,5 +1,7 @@
 """Mesh utilities + sharded matching consistency on the virtual 8-CPU mesh."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -161,6 +163,52 @@ def test_desc_sharded_matcher_equals_replicated():
         desc[i1], desc[i2], valid[i1], valid[i2], 0.8, 0.7, True
     ))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_multihost_two_process_cpu():
+    """Real 2-process ``jax.distributed`` run on CPU (VERDICT r2 item 9).
+
+    Spawns two worker processes wired through the COORDINATOR_ADDRESS /
+    NUM_PROCESSES / PROCESS_ID env contract that ``multihost.initialize``
+    reads; each gets 2 virtual CPU devices, forming a 4-device global
+    topology.  Workers assert process/device counts, the per-host
+    ``local_image_slice`` plan, and one cross-process allgather.
+    """
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "_multihost_worker.py"
+    with socket.socket() as s:  # grab a free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            **{k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multihost worker {pid} timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid}" in out, out
 
 
 def test_multihost_helpers_single_process():

@@ -237,6 +237,51 @@ def test_track_merge(tmp_path):
     assert not mapper.try_merge(pa, pe) or (2, 1) not in state.tracks[pa]
 
 
+def test_track_merge_batch(tmp_path):
+    """try_merge_batch must match sequential try_merge semantics: disjoint
+    candidates evaluate vectorized, pid-sharing candidates chain, and
+    inconsistent merges are refused."""
+    from vit_colmap_tpu.sfm.incremental import IncrementalMapper, _MapperState
+
+    X, K, cams = _look_at_scene(n_pts=3, n_cams=4, seed=11)
+    cameras = {1: {"camera_id": 1, "model": "PINHOLE", "width": 640,
+                   "height": 480,
+                   "params": np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+                   "prior_focal_length": True}}
+    images = {i + 1: {"image_id": i + 1, "name": f"i{i}", "camera_id": 1}
+              for i in range(4)}
+    kps = {}
+    for i, (R, t) in enumerate(cams):
+        uv, _ = _project(R, t, K, X)
+        kps[i + 1] = np.vstack([uv, uv[:1] + 500.0, uv[:1]]).astype(
+            np.float32
+        )  # rows: 3 good points, 1 far-off, 1 extra view of X[0]
+    state = _MapperState(cameras, images, kps)
+    mapper = IncrementalMapper(state, {}, ReconstructionConfig())
+    for i, (R, t) in enumerate(cams):
+        state.poses[i + 1] = (R, t)
+
+    # Two disjoint consistent candidates + one inconsistent + one chained.
+    pa = state.add_point(X[0] + 0.001, [(1, 0), (2, 0)])
+    pb = state.add_point(X[0] - 0.001, [(3, 0)])
+    pc = state.add_point(X[1], [(1, 1), (2, 1)])
+    pd = state.add_point(X[1] + 0.001, [(3, 1), (4, 1)])
+    pe = state.add_point(X[2], [(1, 2)])
+    pf = state.add_point(X[2] + np.array([5.0, 5.0, 0.0]), [(3, 2)])
+    pg = state.add_point(X[0] + 0.002, [(4, 4)])  # chains onto pa after merge
+
+    n = mapper.try_merge_batch(
+        [(pa, pb), (pc, pd), (pe, pf), (pa, pg)]
+    )
+    assert n == 3, n
+    assert pb not in state.points and pd not in state.points
+    assert len(state.tracks[pa]) == 4  # pa (2) + pb (1) + chained pg (1)
+    assert pg not in state.points
+    assert pf in state.points  # inconsistent merge refused
+    assert all(state.feat_pid[i][0] == pa for i in (1, 2, 3))
+    assert state.feat_pid[4][4] == pa
+
+
 def test_bundle_adjust_refines_distortion():
     """Observations generated with radial distortion k1=-0.15: BA starting
     from k=0 with refine_dist_mask on must recover k1 (COLMAP

@@ -275,6 +275,44 @@ class ViTExtractor(BaseExtractor):
             out = tuple(o[:B0] for o in out)
         return out
 
+    def device_extract_looped(self, staged: jax.Array, reps: int) -> jax.Array:
+        """Run the fused extraction program ``reps`` times entirely on
+        device as ONE dispatched program (a ``fori_loop``), returning a
+        checksum scalar.
+
+        This isolates TPU-native compute from host dispatch latency: on
+        this environment's relay each program launch costs ~26 ms, so
+        timing N separate ``extract_batch_async`` calls overstates device
+        time (BENCH_r02's device-resident number read *below* the
+        wire-inclusive one).  The loop body perturbs the input by the
+        iteration index (uint8 wraparound) so XLA cannot hoist the
+        loop-invariant extraction out of the loop, and only a scalar
+        returns, so no output readback rides the measurement.
+
+        ``staged`` must already be in the wire format the forward was
+        built for (packed I420 when ``transfer_format == 'yuv420'``).
+        """
+        if self._forward is None:
+            self._forward = self._build_forward()
+        if self._pca is None:
+            raise RuntimeError("fit PCA before benchmarking (extract once)")
+        fused = self._forward[2]
+
+        @partial(jax.jit, static_argnames="n")
+        def loop(params, images, comps, mean, n):
+            def body(i, acc):
+                imgs = images + i.astype(jnp.uint8)
+                _, sc, valid, desc = fused(params, imgs, comps, mean)
+                return (
+                    acc
+                    + jnp.sum(sc, dtype=jnp.float32)
+                    + jnp.sum(desc, dtype=jnp.int32).astype(jnp.float32)
+                )
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return loop(self.params, staged, *self._pca, reps)
+
     def extract_batch(self, images_u8: np.ndarray):
         """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
         (xy grid coords, scores, valid, uint8 desc) as numpy."""

@@ -419,6 +419,12 @@ def match_exhaustive(
             k_max = _next_pow2(max(len(all_matches[p]) for p in verif_pairs))
             VB = config.pair_batch
             key = jax.random.key(seed)
+            # Software pipeline: dispatch every batch asynchronously first
+            # (host assembly of batch k+1 and the DB writes overlap batch
+            # k's device compute — the serial assemble->dispatch->readback
+            # loop cost 82 s clean / 375 s under host contention at DTU-50),
+            # then read back in order.
+            pending = []
             for start in range(0, len(verif_pairs), VB):
                 chunk = verif_pairs[start : start + VB]
                 bsz = len(chunk)
@@ -459,6 +465,12 @@ def match_exhaustive(
                     confidence=config.ransac_confidence,
                     five_point=config.essential_solver == "5pt",
                 )
+                # Start D2H copies now; they drain while later batches run.
+                for a in res:
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
+                pending.append((chunk, bsz, res))
+            for chunk, bsz, res in pending:
                 configs = np.asarray(res.config)
                 inl_masks = np.asarray(res.inlier_mask)
                 n_inl = np.asarray(res.num_inliers)

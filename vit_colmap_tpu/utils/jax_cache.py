@@ -26,18 +26,22 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     try:
         import jax
 
-        # TPU-backend only: in this environment CPU programs can be
-        # compiled by the REMOTE compile service for a different CPU
-        # microarchitecture; loading such an AOT result from the cache
-        # SIGILLs/SIGSEGVs the process (observed in the test suite).  The
-        # cache's entire value is skipping the 20-40 s remote TPU
-        # compiles anyway.
-        if jax.default_backend() in ("cpu", "gpu"):
-            return
-
         path = cache_dir or os.environ.get(
             "VIT_COLMAP_TPU_CACHE_DIR", _DEFAULT_DIR
         )
+        # CPU-backend sessions (the test suite) get a SEPARATE, local-only
+        # cache directory.  In axon/TPU sessions, host-side CPU programs can
+        # be compiled by the REMOTE compile service for a different CPU
+        # microarchitecture; loading such an AOT entry SIGILLs the process
+        # (observed in the test suite when both session kinds shared one
+        # directory).  A dir only CPU-default sessions write keeps every
+        # entry locally compiled, which makes per-module cache clearing in
+        # tests cheap (recompiles deserialize from disk) — the mitigation
+        # for XLA:CPU's segfault under accumulated executable state.
+        if jax.default_backend() == "gpu":
+            return
+        if jax.default_backend() == "cpu":
+            path = path + "_cpu_local"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _enabled = True
