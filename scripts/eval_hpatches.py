@@ -89,6 +89,16 @@ def make_extract_fn(extractor_name, backbone="vitb14", weights=None,
 
         return fn
 
+    if extractor_name == "dummy":
+        from vit_colmap_tpu.features.dummy_extractor import dummy_features
+
+        def fn(img):
+            h, w = img.shape[:2]
+            kp, dc = dummy_features(42, h, w)
+            return np.asarray(kp), np.asarray(dc), "unsigned"
+
+        return fn
+
     if extractor_name == "hybrid":
         from vit_colmap_tpu.features.hybrid_extractor import HybridExtractor
         from vit_colmap_tpu.models.dinov2 import PATCH_SIZE, patch_grid_size

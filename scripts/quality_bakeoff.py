@@ -140,6 +140,21 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
     ckpt_dir = work / "checkpoints"
     # top_k invariant points must fit the token grid (H/14 * W/14).
     top_k = min(256, (args.height // 14) * (args.width // 14) // 2)
+    # Crash resilience: the TPU tunnel in this environment can drop
+    # mid-run (FAILED_PRECONDITION on device_put).  If a previous attempt
+    # left a ``latest`` checkpoint short of the target epoch count, resume
+    # from it instead of restarting from scratch.
+    resume: list[str] = []
+    meta_path = ckpt_dir / "meta.json"
+    latest = ckpt_dir / "latest"
+    if latest.exists() and meta_path.exists():
+        done_epochs = json.loads(meta_path.read_text()).get("epoch", 0)
+        if done_epochs >= args.epochs:
+            print(f"Training already complete ({done_epochs} epochs); reusing.")
+            best = ckpt_dir / "best_model"
+            return str(best if best.exists() else latest)
+        resume = ["--resume", str(latest)]
+        print(f"Resuming training from epoch {done_epochs}")
     argv = [
         "--data-dir", str(hp_dir),
         "--pair-mode", "all_pairs",
@@ -154,7 +169,7 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
         "--output-dir", str(ckpt_dir),
         "--synthetic-ratio", "0.3",
         "--seed", "0",
-    ]
+    ] + resume
     print(f"Training trainable head: {' '.join(argv)}")
     train_main(argv)
     best = ckpt_dir / "best_model"
@@ -288,26 +303,36 @@ def main() -> None:
         results["hpatches"].update(prev.get("hpatches", {}))
         results["reconstruction"].update(prev.get("reconstruction", {}))
 
+    def persist() -> None:
+        # Write after EVERY row: the TPU tunnel can drop mid-sweep and a
+        # crashed run must not lose the rows it already measured (the merge
+        # block above picks them up on relaunch).
+        (work / "QUALITY.json").write_text(json.dumps(results, indent=2))
+
     extractors = [e for e in args.extractors.split(",") if e]
     for ex in extractors:
         results["hpatches"][ex] = eval_hpatches(hp_dir, ex, args)
+        persist()
         if not args.skip_recon:
             results["reconstruction"][ex] = run_reconstruction(
                 scene_dir, ex, args, cam_params
             )
+            persist()
 
     if args.train:
         weights = train_heads(hp_dir, work, args)
         results["hpatches"]["trainable_vit_trained"] = eval_hpatches(
             hp_dir, "trainable_vit", args, weights=weights
         )
+        persist()
         if not args.skip_recon:
             results["reconstruction"]["trainable_vit_trained"] = (
                 run_reconstruction(scene_dir, "trainable_vit", args,
                                    cam_params, weights=weights)
             )
+            persist()
 
-    (work / "QUALITY.json").write_text(json.dumps(results, indent=2))
+    persist()
     (work / "QUALITY.md").write_text(to_markdown(results))
     print(f"\nWrote {work / 'QUALITY.json'} and {work / 'QUALITY.md'}")
     print(to_markdown(results))
