@@ -251,8 +251,8 @@ def bundle_adjust(
         r = res_fn(x)
         return 0.5 * jnp.dot(r, r)
 
-    def lm_step(carry, _):
-        x, lam = carry
+    def lm_step(carry):
+        x, lam, it, _ = carry
         r = res_fn(x)
         cam, focal, dist, pts = unpack(x)
         diag = _jtj_diag(cam, focal, dist, pts, problem, huber_delta)
@@ -285,13 +285,22 @@ def bundle_adjust(
             jnp.maximum(lam * 0.3, 1e-10),
             jnp.where(improved, lam, lam * 10.0),
         )
-        return (x, lam), None
+        # Convergence: COLMAP/Ceres-style function tolerance (relative cost
+        # decrease < 1e-6) or a stuck trust region (lam blown up by repeated
+        # rejected steps).  Early exit matters at DTU scale: the refinement
+        # global BAs are scheduled at 50 LM iterations but typically
+        # converge in ~10 — a fixed-length scan pays for all 50.
+        rel_dec = (c0 - jnp.minimum(costs[best], c0)) / jnp.maximum(c0, 1e-12)
+        done = (improved & (rel_dec < 1e-6)) | (lam > 1e8)
+        return x, lam, it + 1, done
 
     x0 = pack(
         problem.cam_params, problem.focal_log, problem.dist, problem.points
     )
-    (x_fin, _), _ = jax.lax.scan(
-        lm_step, (x0, jnp.float32(1e-4)), None, length=iters
+    x_fin, _, _, _ = jax.lax.while_loop(
+        lambda c: (c[2] < iters) & ~c[3],
+        lm_step,
+        (x0, jnp.float32(1e-4), jnp.int32(0), jnp.bool_(False)),
     )
     cam, focal, dist, pts = unpack(x_fin)
     r = _residuals(cam, focal, dist, pts, problem, huber_delta)

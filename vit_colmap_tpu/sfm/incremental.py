@@ -930,7 +930,11 @@ def incremental_mapping(
         # Per-substep wall-clock accounting (find/register/triangulate/
         # local BA/global BA) — the mapper is the reconstruction
         # bottleneck at DTU scale; this names the cost.
-        t_sub = {k: 0.0 for k in ("find", "register", "tri", "lba", "gba")}
+        t_sub = {
+            k: 0.0
+            for k in ("find", "register", "tri", "lba", "gba",
+                      "refine_tri", "refine_gba")
+        }
 
         def _timed(key, fn, *a, **kw):
             t0 = time.perf_counter()
@@ -957,24 +961,29 @@ def incremental_mapping(
                 _timed("gba", mapper.bundle_adjust, iters=config.ba_local_iters)
                 _timed("gba", mapper.filter_points)
                 last_global_size = len(state.poses)
-        logger.info(
-            "Mapper substep seconds: %s",
-            {k: round(v, 1) for k, v in t_sub.items()},
-        )
-
         # Final iterative refinement (COLMAP-style): retriangulate features
         # that gained geometry during the build, then global BA + filter.
+        # (Timed under refine_* — this phase was the ~380 s the r2 substep
+        # log left unaccounted.)
         for _ in range(2):
-            created = sum(
-                mapper.triangulate_new(iid) for iid in list(state.poses)
+            created = _timed(
+                "refine_tri",
+                lambda: sum(
+                    mapper.triangulate_new(iid) for iid in list(state.poses)
+                ),
             )
-            mapper.bundle_adjust(iters=config.ba_global_iters)
-            removed = mapper.filter_points()
+            _timed("refine_gba", mapper.bundle_adjust,
+                   iters=config.ba_global_iters)
+            removed = _timed("refine_gba", mapper.filter_points)
             logger.info(
                 "Refinement round: +%d points, -%d filtered", created, removed
             )
             if created <= removed:
                 break
+        logger.info(
+            "Mapper substep seconds: %s",
+            {k: round(v, 1) for k, v in t_sub.items()},
+        )
         rec = mapper.to_reconstruction()
         if len(rec.images) >= 2 and len(rec.points3D) >= 10:
             rec.write(output_path / str(model_idx))
