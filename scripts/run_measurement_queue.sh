@@ -42,14 +42,18 @@ run_stage TRAINSTEP "$PY" scripts/record_bench.py --name TRAINSTEP --round "$ROU
 run_stage EXTRACT_SWEEP "$PY" scripts/record_bench.py --name EXTRACT_SWEEP --round "$ROUND" -- \
   "$PY" scripts/sweep_extraction.py
 
-# 6-7. DTU-50-scale reconstruction for the ViT-family extractors (VERDICT r2
+# 6. SIFT fidelity table (multi-texture/size/scale, incl. DTU-like frame).
+run_stage SIFT_FIDELITY "$PY" scripts/record_bench.py --name SIFT_FIDELITY --round "$ROUND" -- \
+  "$PY" scripts/sift_fidelity_table.py
+
+# 7-8. DTU-50-scale reconstruction for the ViT-family extractors (VERDICT r2
 #      item 5: record them even if random-backbone rows register 0).
 run_stage RECON_VIT "$PY" scripts/record_bench.py --name RECON_VIT --round "$ROUND" -- \
   "$PY" scripts/bench_reconstruction.py --images 50 --extractor vit --work-dir /tmp/bench_recon_vit_r3
 run_stage RECON_TRAINABLE "$PY" scripts/record_bench.py --name RECON_TRAINABLE --round "$ROUND" -- \
   "$PY" scripts/bench_reconstruction.py --images 50 --extractor trainable_vit --work-dir /tmp/bench_recon_tv_r3
 
-# 8. Backbone component-cost profile (locates the non-matmul glue).
+# 9. Backbone component-cost profile (locates the non-matmul glue).
 run_stage PROFILE_BACKBONE "$PY" scripts/record_bench.py --name PROFILE_BACKBONE --round "$ROUND" -- \
   "$PY" scripts/profile_backbone.py
 
