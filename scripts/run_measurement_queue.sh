@@ -13,7 +13,11 @@ PY=/opt/venv/bin/python
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 LOG=/tmp/measurement_queue_r${ROUND}.log
 cd "$ROOT"
-export PYTHONPATH="$ROOT"
+# PREPEND to PYTHONPATH: the session env carries the axon TPU plugin's
+# site dir (/root/.axon_site) in PYTHONPATH; clobbering it unregisters the
+# 'axon' backend and every stage dies with "Backend 'axon' is not in the
+# list of known backends".
+export PYTHONPATH="$ROOT:${PYTHONPATH:-}"
 
 run_stage() {
   local name="$1"; shift
