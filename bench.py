@@ -33,6 +33,7 @@ def run_bench(
     max_keypoints: int,
     pair_batch: int,
     image_batch: int = 2,
+    transfer_format: str = "yuv420c4",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -67,11 +68,14 @@ def run_bench(
     # upsample + color rotation fuse into the backbone program
     # (ops/transfer.py; the video-pipeline equivalent of GPU-side JPEG
     # decode).  The JSON reports the format used.
+    # yuv420c4 packs chroma to 4 bits (1.125 B/px vs I420's 1.5): −25% H2D
+    # on the wire-bound link; backbone-feature parity vs rgb is pinned in
+    # tests/test_transfer.py.
     ex = ViTExtractor(
         backbone=backbone,
         max_keypoints=max_keypoints,
         image_batch=min(image_batch, num_images),
-        transfer_format="yuv420",
+        transfer_format=transfer_format,
     )
 
     # Warmup / compile (also reveals the actual K the detector returns,
@@ -195,6 +199,10 @@ def run_bench(
         from vit_colmap_tpu.ops.transfer import pack_batch_yuv420
 
         staged = jnp.asarray(pack_batch_yuv420(imgs[: ex.image_batch]))
+    elif ex.transfer_format == "yuv420c4":
+        from vit_colmap_tpu.ops.transfer import pack_batch_yuv420_c4
+
+        staged = jnp.asarray(pack_batch_yuv420_c4(imgs[: ex.image_batch]))
     else:
         staged = jnp.asarray(imgs[: ex.image_batch])
     reps = 3 * max(num_images // ex.image_batch, 1)
@@ -225,6 +233,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU-sized quick run")
     ap.add_argument("--image-batch", type=int, default=2)
+    ap.add_argument("--transfer-format", type=str, default="yuv420c4",
+                    choices=["rgb", "yuv420", "yuv420c4"])
     ap.add_argument("--images", type=int, default=None)
     ap.add_argument("--backbone", type=str, default=None)
     args = ap.parse_args()
@@ -250,7 +260,8 @@ def main() -> None:
 
     try:
         extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch,
-                           image_batch=args.image_batch)
+                           image_batch=args.image_batch,
+                           transfer_format=args.transfer_format)
         import jax
 
         extras["device"] = str(jax.devices()[0])

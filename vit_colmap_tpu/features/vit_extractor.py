@@ -77,7 +77,9 @@ class ViTExtractor(BaseExtractor):
         seed: int = 0,
         pca_path: Optional[str] = None,
         pca_fit_images: int = 8,
-        transfer_format: str = "rgb",  # "rgb" | "yuv420" (see ops/transfer.py)
+        # "rgb" | "yuv420" | "yuv420c4" (4-bit packed chroma, 1.125 B/px);
+        # see ops/transfer.py.
+        transfer_format: str = "rgb",
         quantize: str = "none",  # "none" | "int8" (QKVO+MLP on int8 MXU)
     ):
         self.backbone_name = backbone
@@ -176,6 +178,10 @@ class ViTExtractor(BaseExtractor):
                 from vit_colmap_tpu.ops.transfer import unpack_yuv420
 
                 images_u8 = unpack_yuv420(images_u8, full_range=full_range)
+            elif transfer_format == "yuv420c4":
+                from vit_colmap_tpu.ops.transfer import unpack_yuv420_c4
+
+                images_u8 = unpack_yuv420_c4(images_u8, full_range=full_range)
             x = preprocess(images_u8)
             out = model.apply(params, x)
             gh, gw = out["grid"]
@@ -251,10 +257,21 @@ class ViTExtractor(BaseExtractor):
             # Keep device-resident inputs device-resident (coercing a jax
             # array through numpy would round-trip it over the host link).
             images_u8 = np.asarray(images_u8)
-        if self.transfer_format == "yuv420" and not packed:
-            from vit_colmap_tpu.ops.transfer import pack_batch_yuv420
+        if not packed and self.transfer_format in ("yuv420", "yuv420c4"):
+            from vit_colmap_tpu.ops.transfer import (
+                pack_batch_yuv420,
+                pack_batch_yuv420_c4,
+            )
 
-            images_u8 = pack_batch_yuv420(images_u8)
+            fr = getattr(self, "_yuv_full_range", False)
+            if self.transfer_format == "yuv420c4":
+                images_u8 = pack_batch_yuv420_c4(images_u8, full_range=fr)
+            elif fr:
+                from vit_colmap_tpu.ops.transfer import pack_yuv420_full
+
+                images_u8 = np.stack([pack_yuv420_full(im) for im in images_u8])
+            else:
+                images_u8 = pack_batch_yuv420(images_u8)
         images_u8, B0 = self._pad_batch(images_u8)
         if self._pca is None:
             fmap = dense_features(self.params, jnp.asarray(images_u8))
@@ -339,15 +356,19 @@ class ViTExtractor(BaseExtractor):
         dense_features = self._forward[0]
 
         def dense_fn(batch):
-            if self.transfer_format == "yuv420":
-                # The dense program consumes wire-format I420; pack with the
+            if self.transfer_format in ("yuv420", "yuv420c4"):
+                # The dense program consumes the wire format; pack with the
                 # range convention it was built for.
                 from vit_colmap_tpu.ops.transfer import (
                     pack_batch_yuv420,
+                    pack_batch_yuv420_c4,
                     pack_yuv420_full,
                 )
 
-                if getattr(self, "_yuv_full_range", False):
+                fr = getattr(self, "_yuv_full_range", False)
+                if self.transfer_format == "yuv420c4":
+                    batch = pack_batch_yuv420_c4(batch, full_range=fr)
+                elif fr:
                     batch = np.stack([pack_yuv420_full(im) for im in batch])
                 else:
                     batch = pack_batch_yuv420(batch)
@@ -405,7 +426,10 @@ class ViTExtractor(BaseExtractor):
         # library isn't built.  Must be decided BEFORE _build_forward: the
         # device unpack constants differ (full-range JFIF vs cv2 studio).
         native_io = None
-        if self.transfer_format == "yuv420" and self._forward is None:
+        if (
+            self.transfer_format in ("yuv420", "yuv420c4")
+            and self._forward is None
+        ):
             from vit_colmap_tpu.utils import native_io as _nio
 
             if _nio.load_native() is not None:
@@ -481,6 +505,12 @@ class ViTExtractor(BaseExtractor):
                             logger.warning("Native decode failed: %s", f)
                     if not ok.any():
                         continue
+                    if self.transfer_format == "yuv420c4":
+                        # Repack the decoder's I420 into the 4-bit-chroma
+                        # wire format (cheap host numpy; −25% H2D bytes).
+                        from vit_colmap_tpu.ops.transfer import i420_to_c4
+
+                        packed = i420_to_c4(packed)
                     batch, packed_flag = packed, True
                 else:
                     ok = np.ones(len(chunk), bool)

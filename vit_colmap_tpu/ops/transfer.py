@@ -28,23 +28,15 @@ def pack_yuv420(rgb_u8: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2YUV_I420)
 
 
-def unpack_yuv420(packed: jax.Array, full_range: bool = False) -> jax.Array:
-    """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float32 RGB in [0, 255].
+def _planes_to_rgb(
+    y: jax.Array, u: jax.Array, v: jax.Array, full_range: bool
+) -> jax.Array:
+    """(B,H,W) float32 luma + (B,H/2,W/2) float32 chroma -> (B,H,W,3) RGB.
 
-    Bilinear chroma upsample + BT.601 inverse.  Pure XLA; fuses into the
-    backbone program.  ``full_range=False`` is cv2's I420 convention
-    (studio range, Y in [16, 235] — what :func:`pack_yuv420` emits);
-    ``full_range=True`` is JFIF full-range YCbCr — what the native decoder
-    (native/image_io.cc) emits straight from libjpeg.
+    Bilinear chroma upsample + BT.601 inverse; shared by the I420 and the
+    4-bit-chroma unpackers.  Pure XLA; fuses into the backbone program.
     """
-    B, h15, w = packed.shape
-    h = (h15 * 2) // 3
-    # Planes are contiguous but not row-aligned for h % 4 != 0: slice flat.
-    flat = packed.reshape(B, -1)
-    n_y, n_c = h * w, (h // 2) * (w // 2)
-    y = flat[:, :n_y].reshape(B, h, w).astype(jnp.float32)
-    u = flat[:, n_y : n_y + n_c].reshape(B, h // 2, w // 2).astype(jnp.float32)
-    v = flat[:, n_y + n_c :].reshape(B, h // 2, w // 2).astype(jnp.float32)
+    B, h, w = y.shape
     u = jax.image.resize(u, (B, h, w), "bilinear") - 128.0
     v = jax.image.resize(v, (B, h, w), "bilinear") - 128.0
     if full_range:
@@ -59,6 +51,25 @@ def unpack_yuv420(packed: jax.Array, full_range: bool = False) -> jax.Array:
         g = yc - 0.391762 * u - 0.812968 * v
         b = yc + 2.017232 * u
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def unpack_yuv420(packed: jax.Array, full_range: bool = False) -> jax.Array:
+    """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float32 RGB in [0, 255].
+
+    ``full_range=False`` is cv2's I420 convention (studio range, Y in
+    [16, 235] — what :func:`pack_yuv420` emits); ``full_range=True`` is
+    JFIF full-range YCbCr — what the native decoder (native/image_io.cc)
+    emits straight from libjpeg.
+    """
+    B, h15, w = packed.shape
+    h = (h15 * 2) // 3
+    # Planes are contiguous but not row-aligned for h % 4 != 0: slice flat.
+    flat = packed.reshape(B, -1)
+    n_y, n_c = h * w, (h // 2) * (w // 2)
+    y = flat[:, :n_y].reshape(B, h, w).astype(jnp.float32)
+    u = flat[:, n_y : n_y + n_c].reshape(B, h // 2, w // 2).astype(jnp.float32)
+    v = flat[:, n_y + n_c :].reshape(B, h // 2, w // 2).astype(jnp.float32)
+    return _planes_to_rgb(y, u, v, full_range)
 
 
 def pack_batch_yuv420(rgb_batch_u8: np.ndarray) -> np.ndarray:
@@ -93,3 +104,92 @@ def pack_yuv420_full(rgb_u8: np.ndarray) -> np.ndarray:
         np.clip(sub(cr) + 0.5, 0, 255).astype(np.uint8).reshape(-1)
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# yuv420c4: I420 with the chroma planes quantized to 4 bits and nibble-
+# packed — 1.125 B/px on the wire vs I420's 1.5 (a further −25% H2D).
+# Chroma carries almost no keypoint/descriptor signal (the backbone
+# patchifies at 14x14 and detection runs on feature saliency), so a 16-level
+# chroma quantizer (max error ~8/255) is far below the 2x2-subsampling loss
+# I420 already accepts; parity is pinned in tests/test_transfer.py.
+#
+# Wire layout per image, rows of width W:
+#   rows 0..H-1            luma, unchanged uint8
+#   rows H..H+ceil(H/4)-1  nibble-packed chroma: concat(U4.flat, V4.flat)
+#                          two samples/byte (high nibble first), zero-padded
+#                          to whole rows.
+# Total rows R = H + ceil(H/4); H is recovered from R in the unpacker
+# (unique over even H, which I420 requires anyway).
+# --------------------------------------------------------------------------
+
+
+def _c4_rows(h: int) -> int:
+    """Chroma rows for the 4-bit layout: ceil((H*W/4 bytes) / W)."""
+    return (h + 3) // 4
+
+
+def _solve_h_c4(rows: int) -> int:
+    """Invert rows = h + ceil(h/4) for even h (static-shape trace time)."""
+    h0 = (rows * 4) // 5
+    h0 -= h0 % 2
+    for h in (h0 - 2, h0, h0 + 2):
+        if h > 0 and h + _c4_rows(h) == rows:
+            return h
+    raise ValueError(f"no even H with H + ceil(H/4) == {rows}")
+
+
+def i420_to_c4(i420: np.ndarray) -> np.ndarray:
+    """(H*3/2, W) or (B, H*3/2, W) uint8 I420 -> 4-bit-chroma wire format
+    (..., H + ceil(H/4), W).  Pure numpy (host side; also repacks the native
+    decoder's I420 output)."""
+    batched = i420.ndim == 3
+    arr = i420 if batched else i420[None]
+    B, h15, w = arr.shape
+    h = (h15 * 2) // 3
+    n_y = h * w
+    flat = arr.reshape(B, -1)
+    # 16-level chroma quantizer with exact endpoints (0->0, 255->255):
+    # q = round(c * 15/255), dequant c' = q * 17.
+    q = np.clip(
+        np.rint(flat[:, n_y:].astype(np.float32) * (15.0 / 255.0)), 0, 15
+    ).astype(np.uint8)
+    pb = (q[:, 0::2] << 4) | q[:, 1::2]  # (B, h*w/4)
+    rows_c = _c4_rows(h)
+    out = np.zeros((B, (h + rows_c) * w), np.uint8)
+    out[:, :n_y] = flat[:, :n_y]
+    out[:, n_y : n_y + pb.shape[1]] = pb
+    out = out.reshape(B, h + rows_c, w)
+    return out if batched else out[0]
+
+
+def pack_batch_yuv420_c4(
+    rgb_batch_u8: np.ndarray, full_range: bool = False
+) -> np.ndarray:
+    """(B, H, W, 3) uint8 RGB -> (B, H + ceil(H/4), W) 4-bit-chroma wire."""
+    if full_range:
+        i420 = np.stack([pack_yuv420_full(im) for im in rgb_batch_u8])
+    else:
+        i420 = pack_batch_yuv420(rgb_batch_u8)
+    return i420_to_c4(i420)
+
+
+def unpack_yuv420_c4(packed: jax.Array, full_range: bool = False) -> jax.Array:
+    """(B, H + ceil(H/4), W) 4-bit-chroma wire -> (B, H, W, 3) float32 RGB.
+
+    Nibble unpack + x17 dequant + the shared bilinear-upsample/BT.601
+    inverse; pure XLA, fuses into the backbone program like I420."""
+    B, rows, w = packed.shape
+    h = _solve_h_c4(rows)
+    n_y = h * w
+    n_cb = n_y // 4  # packed chroma bytes (two 4-bit samples each)
+    flat = packed.reshape(B, -1)
+    y = flat[:, :n_y].reshape(B, h, w).astype(jnp.float32)
+    cb = flat[:, n_y : n_y + n_cb]
+    hi = (cb >> 4).astype(jnp.float32) * 17.0
+    lo = (cb & 0xF).astype(jnp.float32) * 17.0
+    cat = jnp.stack([hi, lo], axis=-1).reshape(B, -1)  # (B, h*w/2)
+    n_c = (h // 2) * (w // 2)
+    u = cat[:, :n_c].reshape(B, h // 2, w // 2)
+    v = cat[:, n_c:].reshape(B, h // 2, w // 2)
+    return _planes_to_rgb(y, u, v, full_range)

@@ -319,8 +319,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--max-keypoints", type=int, default=None)
     ap.add_argument("--pca-path", type=Path, default=None,
                     help="persisted PCA projection (.npz), fit+saved on first use")
-    ap.add_argument("--transfer-format", choices=["rgb", "yuv420"], default=None,
-                    help="image host->device transfer encoding (yuv420 halves bytes)")
+    ap.add_argument("--transfer-format",
+                    choices=["rgb", "yuv420", "yuv420c4"], default=None,
+                    help="image host->device transfer encoding (yuv420 halves "
+                         "bytes; yuv420c4 packs chroma to 4 bits, 1.125 B/px)")
     ap.add_argument("--quantize", choices=["none", "int8"], default=None,
                     help="backbone matmul precision (int8 = 2x MXU peak on v5e)")
     ap.add_argument("--min-num-matches", type=int, default=None)
