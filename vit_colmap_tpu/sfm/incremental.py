@@ -55,8 +55,27 @@ def _next_pow2(n: int, minimum: int = 64) -> int:
     return m
 
 
+def _cpu_scope():
+    """Context placing eager jnp ops on the host CPU backend.
+
+    The mapper's one-shot glue geometry (init-pair bootstrap, steady-state
+    DLT triangulation) is ~100 us of math per call; on the remote-TPU relay
+    each eager op costs a ~26 ms dispatch plus a per-op compile that is
+    below the persistent-cache threshold, so a single cold initialization
+    measured 6 MINUTES of relay overhead (RECON r3).  Heavy iterative
+    programs (PnP RANSAC, LM bundle adjustment) stay jitted on the TPU.
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # pragma: no cover - no cpu backend registered
+        return contextlib.nullcontext()
+
+
 def _qvec_from_R(R: np.ndarray) -> np.ndarray:
-    return np.asarray(geom.rotmat_to_qvec(jnp.asarray(R)))
+    with _cpu_scope():  # one 3x3 — keep it off the TPU relay
+        return np.asarray(geom.rotmat_to_qvec(jnp.asarray(R)))
 
 
 class _MapperState:
@@ -143,13 +162,19 @@ class IncrementalMapper:
     # ------------------------------------------------------ initialization
     def initialize(self) -> bool:
         """Pick the best verified pair and bootstrap the model."""
+        t0 = time.perf_counter()
         candidates = sorted(
             self.pair_matches.items(), key=lambda kv: -len(kv[1])
         )
         for (i1, i2), m in candidates:
             if len(m) < max(self.cfg.min_num_matches, 30):
                 continue
-            if self._try_init_pair(i1, i2, m):
+            with _cpu_scope():
+                ok = self._try_init_pair(i1, i2, m)
+            if ok:
+                logger.info(
+                    "Initialization took %.1fs", time.perf_counter() - t0
+                )
                 return True
         return False
 
@@ -518,15 +543,18 @@ class IncrementalMapper:
         x1p = np.concatenate([x1, np.zeros((pad, 2))])
         x2p = np.concatenate([x2, np.zeros((pad, 2))])
         P2p = np.broadcast_to(P2, (n_pad, 3, 4))
-        X = np.asarray(
-            geom.triangulate(
-                jnp.asarray(P1p, jnp.float32),
-                jnp.asarray(np.ascontiguousarray(P2p), jnp.float32),
-                jnp.asarray(x1p[:, None], jnp.float32),
-                jnp.asarray(x2p[:, None], jnp.float32),
-            )[:, 0],
-            np.float64,
-        )[:n]
+        # Tiny per-point DLT solves: run on the host CPU backend (see
+        # _cpu_scope — eager ops over the TPU relay cost ~26 ms each).
+        with _cpu_scope():
+            X = np.asarray(
+                geom.triangulate(
+                    jnp.asarray(P1p, jnp.float32),
+                    jnp.asarray(np.ascontiguousarray(P2p), jnp.float32),
+                    jnp.asarray(x1p[:, None], jnp.float32),
+                    jnp.asarray(x2p[:, None], jnp.float32),
+                )[:, 0],
+                np.float64,
+            )[:n]
         # Host-side acceptance: reprojection via the P matrices directly.
         def _perrs(P, Xw, uv):
             uvw = np.einsum("nij,nj->ni", P[:, :, :3], Xw) + P[:, :, 3]
@@ -643,12 +671,13 @@ class IncrementalMapper:
         )
         cam_index = {cid: k for k, cid in enumerate(cam_ids_used)}
         cam_of_img = np.zeros(n_img, np.int32)
-        for iid2, k in img_index.items():
-            R, t = s.poses[iid2]
-            cam[k, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
-            cam[k, 3:6] = t
-            Ks[k] = s.K(iid2)
-            cam_of_img[k] = cam_index[s.images[iid2]["camera_id"]]
+        with _cpu_scope():  # per-camera glue math off the TPU relay
+            for iid2, k in img_index.items():
+                R, t = s.poses[iid2]
+                cam[k, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+                cam[k, 3:6] = t
+                Ks[k] = s.K(iid2)
+                cam_of_img[k] = cam_index[s.images[iid2]["camera_id"]]
         pts = np.zeros((n_pts_pad, 3), np.float32)
         pts[: len(pt_ids)] = np.stack([s.points[p] for p in pt_ids])
 
@@ -721,11 +750,14 @@ class IncrementalMapper:
         focal_out = np.asarray(focal_out, np.float64)
         dist_out = np.asarray(dist_out, np.float64)
         pts_out = np.asarray(pts_out, np.float64)
-        for iid2, k in img_index.items():
-            if iid2 not in var_set:
-                continue
-            R = np.asarray(axis_angle_to_matrix(jnp.asarray(cam_out[k, :3])))
-            s.poses[iid2] = (R, cam_out[k, 3:6])
+        with _cpu_scope():
+            for iid2, k in img_index.items():
+                if iid2 not in var_set:
+                    continue
+                R = np.asarray(
+                    axis_angle_to_matrix(jnp.asarray(cam_out[k, :3]))
+                )
+                s.poses[iid2] = (R, cam_out[k, 3:6])
         for pid, k in pt_index.items():
             s.points[pid] = pts_out[k]
         # Exact per-camera focal write-back (shared-intrinsics parameter).
