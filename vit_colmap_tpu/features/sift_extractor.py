@@ -81,6 +81,12 @@ class SiftExtractor(BaseExtractor):
                 gray = np.stack(
                     [im.astype(np.float32) / 255.0 for _, im in chunk]
                 )
+                if len(chunk) < B and len(items) > B:
+                    # Pad the tail chunk to the full batch: a smaller B is a
+                    # different static shape and would recompile the entire
+                    # fused SIFT program for one leftover chunk.
+                    pad = np.zeros((B - len(chunk), h, w), np.float32)
+                    gray = np.concatenate([gray, pad])
                 kpts_list, desc_list = extract_sift(
                     gray,
                     max_keypoints=self.max_keypoints,

@@ -20,13 +20,12 @@ native COLMAP, so the framework ships its own accelerator-friendly SIFT:
   **trilinear** (soft x/y/orientation) binning, L2-normalize, clip 0.2,
   renormalize, x512 uint8 (COLMAP convention).
 
-Every stage is batched over images and keypoints; octaves are separate
-jitted programs (static shapes halve per octave).  Per-keypoint gradient
-levels ride a level-stacked feature map + per-band coordinate clamping, so
-no gather crosses scale levels and shapes stay static.
-
-Known remaining deviations from COLMAP SIFT: no 2x first-octave upsampling
-(first_octave=-1) and one orientation per keypoint (no secondary peaks).
+Every stage is batched over images and keypoints, and the whole multi-
+octave pipeline (including the final cross-octave top-k selection) fuses
+into ONE jitted program per (B, H, W) shape — one device dispatch per image
+batch, one disk-cacheable compile.  Per-keypoint gradient levels ride a
+level-stacked feature map + per-band coordinate clamping, so no gather
+crosses scale levels and shapes stay static.
 """
 
 from __future__ import annotations
@@ -505,40 +504,51 @@ def sift_descriptors_multilevel(
     return _descriptor_core(m, a_rel, rel_np, window)
 
 
-def extract_sift(
-    gray: np.ndarray,  # (B, H, W) float32 in [0, 1]
-    max_keypoints: int = 4096,
-    num_octaves: int = 4,
-    num_scales: int = 3,
-    contrast_thresh: float = 0.0133,
-    first_octave: int = -1,
-    num_orientations: int = 2,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "num_octaves",
+        "num_scales",
+        "contrast_thresh",
+        "first_octave",
+        "num_orientations",
+        "per_oct",
+    ),
+)
+def _sift_program(
+    gray: jax.Array,  # (B, H, W) float32 in [0, 1]
+    *,
+    max_keypoints: int,
+    num_octaves: int,
+    num_scales: int,
+    contrast_thresh: float,
+    first_octave: int,
+    num_orientations: int,
+    per_oct: int,
 ):
-    """Full multi-octave SIFT. Host orchestration over per-octave jitted
-    programs; returns (kpts (N, 4) [x, y, scale, orientation] per image as a
-    list, desc list) in image pixel coordinates.
+    """The ENTIRE multi-octave SIFT as one XLA program.
 
-    ``first_octave=-1`` starts from a 2x-upsampled image (COLMAP/cv2
-    default — doubles small-scale keypoint recall); 0 starts at native
-    resolution.  ``contrast_thresh`` default matches cv2's effective
-    per-layer threshold (0.04 / nlayers) on [0, 1] images.
-    ``num_orientations`` emits one keypoint copy per orientation-histogram
-    peak >= 0.8x max (COLMAP SiftExtractionOptions.max_num_orientations=2);
-    1 restores single-orientation keypoints.
+    One dispatch per image batch (the per-octave-stage version cost ~30
+    relay round trips per batch plus 30+ small compiles that fall under the
+    persistent-cache threshold — this single program is cached on disk and
+    replays warm).  Final top-``max_keypoints`` selection happens on device,
+    so only the selected keypoints transfer back.
+
+    Returns (kpts (B, K, 4) [x, y, scale, orientation] in image pixel
+    coordinates, desc (B, K, 128) uint8, valid (B, K)).
     """
-    B, H, W = gray.shape
-    per_oct = max(max_keypoints // num_octaves, 64)
-    results = [[] for _ in range(B)]
-    pending = []  # per-octave device arrays, synced after the loop
-
-    img = jnp.asarray(gray)
+    B = gray.shape[0]
+    img = gray
     base_factor = 1.0
     input_sigma = 0.5  # assumed camera blur of the raw image (Lowe)
     if first_octave < 0:
+        H, W = gray.shape[1], gray.shape[2]
         img = jax.image.resize(img, (B, H * 2, W * 2), "linear")
         base_factor = 0.5
         input_sigma = 1.0  # doubled image carries doubled blur
     k = 2.0 ** (1.0 / num_scales)
+    outs = []  # per-octave (xy_img, orient, scale_img, valid, desc, score)
     for o in range(num_octaves):
         if min(img.shape[1], img.shape[2]) < 32:
             break
@@ -585,45 +595,81 @@ def extract_sift(
         desc = sift_descriptors_multilevel(
             fm, xy, level, orient, win_px, Ho, Wo
         )
-
-        # Keep octave outputs on device; sync once after the loop so the
-        # device pipelines all octaves back-to-back (each np.asarray here
-        # used to cost a full host<->device round trip per octave).
         factor = base_factor * 2**o
-        pending.append((factor, xy, orient, sigma_kp, valid, desc, score))
+        outs.append(
+            (xy * factor, orient, sigma_kp * factor, valid, desc, score)
+        )
         # Downsample for the next octave.
         img = gauss[:, num_scales][:, ::2, ::2]
 
-    for factor, xy, orient, sigma_kp, valid, desc, score in pending:
-        xy_np = np.asarray(xy)
-        orient_np = np.asarray(orient)
-        scale_np = np.asarray(sigma_kp) * factor
-        valid_np = np.asarray(valid)
-        desc_np = np.asarray(desc)
-        score_np = np.asarray(score)
-        for b in range(B):
-            v = valid_np[b]
-            if v.any():
-                kp = np.stack(
-                    [
-                        xy_np[b, v, 0] * factor,
-                        xy_np[b, v, 1] * factor,
-                        scale_np[b, v],
-                        orient_np[b, v],
-                    ],
-                    axis=1,
-                ).astype(np.float32)
-                results[b].append((kp, desc_np[b, v], score_np[b, v]))
+    xy = jnp.concatenate([t[0] for t in outs], axis=1)  # (B, N, 2)
+    orient = jnp.concatenate([t[1] for t in outs], axis=1)
+    scale = jnp.concatenate([t[2] for t in outs], axis=1)
+    valid = jnp.concatenate([t[3] for t in outs], axis=1)
+    desc = jnp.concatenate([t[4] for t in outs], axis=1)
+    score = jnp.concatenate([t[5] for t in outs], axis=1)
+
+    # Device-side selection: top max_keypoints by score over all octaves
+    # (invalid slots sink to -inf; ties break toward lower index, i.e.
+    # octave order, matching the host concatenation order they replaced).
+    ranked = jnp.where(valid, score, -jnp.inf)
+    k_out = min(max_keypoints, ranked.shape[1])
+    top, idx = jax.lax.top_k(ranked, k_out)
+    kp = jnp.stack(
+        [
+            jnp.take_along_axis(xy[..., 0], idx, axis=1),
+            jnp.take_along_axis(xy[..., 1], idx, axis=1),
+            jnp.take_along_axis(scale, idx, axis=1),
+            jnp.take_along_axis(orient, idx, axis=1),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    desc_sel = jnp.take_along_axis(desc, idx[..., None], axis=1)
+    return kp, desc_sel, jnp.isfinite(top)
+
+
+def extract_sift(
+    gray: np.ndarray,  # (B, H, W) float32 in [0, 1]
+    max_keypoints: int = 4096,
+    num_octaves: int = 4,
+    num_scales: int = 3,
+    contrast_thresh: float = 0.0133,
+    first_octave: int = -1,
+    num_orientations: int = 2,
+):
+    """Full multi-octave SIFT (one fused XLA program, `_sift_program`);
+    returns (kpts (N, 4) [x, y, scale, orientation] per image as a list,
+    desc list) in image pixel coordinates.
+
+    ``first_octave=-1`` starts from a 2x-upsampled image (COLMAP/cv2
+    default — doubles small-scale keypoint recall); 0 starts at native
+    resolution.  ``contrast_thresh`` default matches cv2's effective
+    per-layer threshold (0.04 / nlayers) on [0, 1] images.
+    ``num_orientations`` emits one keypoint copy per orientation-histogram
+    peak >= 0.8x max (COLMAP SiftExtractionOptions.max_num_orientations=2);
+    1 restores single-orientation keypoints.
+    """
+    B = gray.shape[0]
+    kp, desc, valid = _sift_program(
+        jnp.asarray(gray),
+        max_keypoints=max_keypoints,
+        num_octaves=num_octaves,
+        num_scales=num_scales,
+        contrast_thresh=contrast_thresh,
+        first_octave=first_octave,
+        num_orientations=num_orientations,
+        per_oct=max(max_keypoints // num_octaves, 64),
+    )
+    kp_np = np.asarray(kp)
+    desc_np = np.asarray(desc)
+    valid_np = np.asarray(valid)
 
     kpts_out, desc_out = [], []
     for b in range(B):
-        if results[b]:
-            kp = np.concatenate([r[0] for r in results[b]])
-            dc = np.concatenate([r[1] for r in results[b]])
-            sc = np.concatenate([r[2] for r in results[b]])
-            order = np.argsort(-sc)[:max_keypoints]
-            kpts_out.append(kp[order])
-            desc_out.append(dc[order])
+        v = valid_np[b]
+        if v.any():
+            kpts_out.append(kp_np[b][v])
+            desc_out.append(desc_np[b][v])
         else:
             kpts_out.append(np.zeros((0, 4), np.float32))
             desc_out.append(np.zeros((0, 128), np.uint8))
