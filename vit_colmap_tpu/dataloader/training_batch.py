@@ -58,6 +58,28 @@ def gaussian_heatmap(
     return jnp.max(g, axis=1)
 
 
+def image_structure_grid(
+    img: jax.Array,  # (B, H, W, 3) uint8
+    gh: int,
+    gw: int,
+    patch: int = 14,
+) -> jax.Array:
+    """Per-feature-cell image cornerness in [0, 1] (max-pooled Harris).
+
+    Supervision prior for invariant-point selection: anchors training
+    targets to repeatable image structure regardless of backbone quality
+    (see :func:`select_invariant_points`).
+    """
+    from vit_colmap_tpu.ops.scoring import harris_response
+
+    gray = rgb_to_gray(img) / 255.0
+    resp = jnp.maximum(harris_response(gray), 0.0)
+    resp = resp[:, : gh * patch, : gw * patch]
+    resp = resp.reshape(resp.shape[0], gh, patch, gw, patch).max(axis=(2, 4))
+    mx = jnp.max(resp.reshape(resp.shape[0], -1), axis=-1)
+    return resp / jnp.maximum(mx[:, None, None], 1e-12)
+
+
 def process_batch(
     backbone_apply,
     backbone_params,
@@ -69,6 +91,7 @@ def process_batch(
     num_in_image: int = 8,
     num_cross: int = 4,
     num_hard: int = 4,
+    structure_alpha: float = 1.0,
 ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """images1/images2 (B, H, W, 3) uint8 + H12 (B, 3, 3) ->
     (outputs, targets) for :func:`vit_colmap_tpu.losses.total_loss`."""
@@ -87,7 +110,14 @@ def process_batch(
     feats1 = backbone_feats(img1)
     feats2 = backbone_feats(img2)
 
-    inv = select_invariant_points(feats1, feats2, H12, top_k=top_k)
+    structure2 = None
+    if structure_alpha > 0.0:
+        gh2, gw2 = feats2.shape[1], feats2.shape[2]
+        structure2 = image_structure_grid(img2, gh2, gw2)
+    inv = select_invariant_points(
+        feats1, feats2, H12, top_k=top_k,
+        structure2=structure2, structure_alpha=structure_alpha,
+    )
 
     out1 = heads_apply(heads_params, feats1)
     out2 = heads_apply(heads_params, feats2)

@@ -41,7 +41,7 @@ class InvariantPoints(NamedTuple):
     valid: jax.Array  # (B, K)
 
 
-@partial(jax.jit, static_argnames=("top_k", "patch"))
+@partial(jax.jit, static_argnames=("top_k", "patch", "structure_alpha"))
 def select_invariant_points(
     feats1: jax.Array,  # (B, gh, gw, C)
     feats2: jax.Array,
@@ -49,12 +49,31 @@ def select_invariant_points(
     top_k: int = 512,
     threshold: float = 0.0,
     patch: int = 14,
+    structure2: jax.Array | None = None,  # (B, gh, gw) in [0, 1]
+    structure_alpha: float = 1.0,
 ) -> InvariantPoints:
     """Top-k cells where warped image-1 features agree with image-2 features
-    (reference ``training_sampler.py:56-179``, top_k strategy)."""
+    (reference ``training_sampler.py:56-179``, top_k strategy).
+
+    ``structure2`` optionally blends a per-cell image-structure (cornerness)
+    prior into the selection score: ``sim + alpha * structure``.  The
+    reference selects purely by feature similarity, which is meaningful
+    with a pretrained backbone; with a randomly initialized one the
+    similarity map is mostly noise and the detector/descriptor supervision
+    anchors to noise (QUALITY r3: trained < untrained).  The structure term
+    keeps selected points on repeatable image content in either regime —
+    with strong pretrained features the similarity term still dominates
+    ranking among corners.
+    """
     B, gh, gw, _ = feats1.shape
     sim, valid = feature_similarity_map(feats1, feats2, H12, patch)
-    flat = sim.reshape(B, -1)
+    sel = sim
+    if structure2 is not None and structure_alpha > 0.0:
+        # Out-of-overlap cells must stay below every valid cell: sim there
+        # is -1 and a strong corner would otherwise lift them above flat
+        # valid regions.
+        sel = jnp.where(valid, sim + structure_alpha * structure2, -2.0)
+    flat = sel.reshape(B, -1)
     top_sim, idx = jax.lax.top_k(flat, top_k)
     ys = (idx // gw).astype(jnp.float32)
     xs = (idx % gw).astype(jnp.float32)

@@ -77,6 +77,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--pos-weight", type=float, default=None,
                     help="detector BCE positive weight (default: dynamic)")
     ap.add_argument("--top-k", type=int, default=512)
+    ap.add_argument("--structure-alpha", type=float, default=1.0,
+                    help="image-cornerness prior blended into invariant-"
+                         "point selection (0 = reference's pure feature-"
+                         "similarity selection)")
     ap.add_argument("--num-in-image-neg", type=int, default=8)
     ap.add_argument("--num-cross-neg", type=int, default=4)
     ap.add_argument("--num-hard-neg", type=int, default=4)
@@ -321,6 +325,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             num_in_image=args.num_in_image_neg,
             num_cross=args.num_cross_neg,
             num_hard=args.num_hard_neg,
+            structure_alpha=args.structure_alpha,
         ),
     )
 
