@@ -236,3 +236,34 @@ def test_training_overfits_single_batch():
     first = np.mean(losses[:3])
     last = np.mean(losses[-3:])
     assert last < first * 0.8, (first, last)
+
+
+def test_select_invariant_points_structure_prior():
+    """A cornerness prior steers selection toward structured cells without
+    promoting out-of-overlap cells (sim there is pinned at -1)."""
+    rng = np.random.default_rng(7)
+    feats1 = rng.standard_normal((1, 6, 8, 32)).astype(np.float32)
+    feats2 = feats1.copy()  # identity pair: every cell has sim ~ 1
+    I = np.eye(3, dtype=np.float32)[None]
+    structure = np.zeros((1, 6, 8), np.float32)
+    structure[0, 2, 3] = 1.0
+    structure[0, 4, 5] = 0.9
+    inv = select_invariant_points(
+        feats1, feats2, I, top_k=2, structure2=structure, structure_alpha=1.0
+    )
+    c2 = np.asarray(inv.coords2_grid)[0]
+    assert {tuple(c) for c in c2.astype(int)} == {(3, 2), (5, 4)}
+    assert np.asarray(inv.valid)[0].all()
+
+
+def test_image_structure_grid_marks_corners():
+    from vit_colmap_tpu.dataloader.training_batch import image_structure_grid
+
+    img = np.zeros((1, 56, 56, 3), np.uint8)
+    img[0, :28, :28] = 255  # one bright square: corner energy at its edges
+    g = np.asarray(image_structure_grid(img, 4, 4))
+    assert g.shape == (1, 4, 4)
+    assert g.max() <= 1.0 + 1e-6 and g.min() >= 0.0
+    # The inner corner cell (1,1) outranks the flat interior/background.
+    assert g[0, 1, 1] > g[0, 3, 3]
+    assert g[0, 1, 1] > g[0, 0, 0]
