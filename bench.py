@@ -206,12 +206,11 @@ def run_bench(
     else:
         staged = jnp.asarray(imgs[: ex.image_batch])
     reps = 3 * max(num_images // ex.image_batch, 1)
-    ex.device_extract_looped(staged, reps).block_until_ready()  # compile
-    t_dev = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ex.device_extract_looped(staged, reps).block_until_ready()
-        t_dev = min(t_dev, time.perf_counter() - t0)
+    # Pipelined back-to-back dispatches (see ViTExtractor.device_extract_
+    # pipelined): the fori_loop variant hit an XLA while-loop pessimization
+    # (~15x slower than the same body standalone, EXTRACT_SWEEP_r3 first
+    # record) and under-reported device throughput.
+    t_dev = min(ex.device_extract_pipelined(staged, reps) for _ in range(3))
     img_per_s_device = reps * ex.image_batch / t_dev
 
     return {

@@ -49,12 +49,11 @@ def measure(backbone, h, w, batch, quantize, reps, max_kp):
     # One host extract to fit PCA + compile the fused program.
     ex.extract_batch(imgs)
     staged = jnp.asarray(pack_batch_yuv420(imgs))
-    ex.device_extract_looped(staged, reps).block_until_ready()  # compile loop
-    t = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ex.device_extract_looped(staged, reps).block_until_ready()
-        t = min(t, time.perf_counter() - t0)
+    # Pipelined back-to-back dispatches (production dispatch pattern); the
+    # earlier fori_loop variant measured ~15x below the same body as
+    # standalone dispatches (XLA while-loop pessimization, EXTRACT_SWEEP_r3
+    # first record) and under-reported the device ceiling.
+    t = min(ex.device_extract_pipelined(staged, reps) for _ in range(3))
     del ex
     jax.clear_caches()
     return reps * batch / t

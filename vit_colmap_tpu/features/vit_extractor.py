@@ -330,6 +330,35 @@ class ViTExtractor(BaseExtractor):
 
         return loop(self.params, staged, *self._pca, reps)
 
+    def device_extract_pipelined(self, staged: jax.Array, reps: int):
+        """Dispatch the fused extraction program ``reps`` times back-to-back
+        (async) and block on the last output; returns wall seconds.
+
+        Device-throughput measurement matching how production runs the
+        program: dispatch i+1 is issued while the device still executes
+        dispatch i, so only the first ~26 ms relay launch is exposed and no
+        output readback rides the measurement.  (The ``fori_loop`` variant
+        above measured ~15x slower than the SAME body as standalone
+        dispatches — an XLA while-loop pessimization — and is kept only for
+        A/B diagnosis; see EXTRACT_SWEEP_r3.)
+        """
+        import time as _time
+
+        if self._forward is None:
+            self._forward = self._build_forward()
+        if self._pca is None:
+            raise RuntimeError("fit PCA before benchmarking (extract once)")
+        fused = self._forward[2]
+        comps, mean = self._pca
+        # Warm dispatch outside the timing (compile + first launch).
+        jax.block_until_ready(fused(self.params, staged, comps, mean))
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fused(self.params, staged, comps, mean)
+        jax.block_until_ready(out)
+        return _time.perf_counter() - t0
+
     def extract_batch(self, images_u8: np.ndarray):
         """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
         (xy grid coords, scores, valid, uint8 desc) as numpy."""
