@@ -92,8 +92,11 @@ def test_jax_sift_mma_within_10pct_of_cv2():
     print(f"cv2 MMA@3 {cv_mean:.3f} ({mma_cv}), jax MMA@3 {jx_mean:.3f} "
           f"({mma_jx}); matches cv2 {n_cv} jax {n_jx}")
     assert jx_mean >= 0.9 * cv_mean, (cv_mean, jx_mean)
-    # Comparable match volume (at least half of cv2's mutual-NN matches).
-    assert np.mean(n_jx) >= 0.5 * np.mean(n_cv), (n_cv, n_jx)
+    # Match volume >= 0.8x cv2 (VERDICT r2 item 7).  The measured table
+    # (results/SIFT_FIDELITY_r3.json, 8 cases across textures/sizes/zoom
+    # incl. a 1200x1600 DTU-like frame) shows 1.67-2.24x cv2 since
+    # multi-orientation keypoints + the 2x-upsampled first octave landed.
+    assert np.mean(n_jx) >= 0.8 * np.mean(n_cv), (n_cv, n_jx)
 
 
 @pytest.mark.slow
