@@ -39,6 +39,11 @@ rm -rf results/quality/checkpoints
 run_stage BAKEOFF_RETRAIN "$PY" scripts/quality_bakeoff.py \
   --work-dir results/quality --extractors "" --train
 
+# 3b. SIFT fidelity re-measure: the f32-precision fix (bf16 DoG noise on
+#     TPU degraded the 768x1024 case to MMA 0.65 vs 0.92 on CPU).
+run_stage SIFT_FIDELITY "$PY" scripts/record_bench.py --name SIFT_FIDELITY --round "$ROUND" -- \
+  "$PY" scripts/sift_fidelity_table.py
+
 # 4. Headline bench with the c4 wire format (also run by the driver at
 #    round end; this run warms its cache and records our own copy).
 run_stage BENCH_HEADLINE "$PY" scripts/record_bench.py --name BENCH_HEADLINE --round "$ROUND" -- \

@@ -538,6 +538,36 @@ def _sift_program(
     Returns (kpts (B, K, 4) [x, y, scale, orientation] in image pixel
     coordinates, desc (B, K, 128) uint8, valid (B, K)).
     """
+    # TPU matmuls/convs default to bf16 multiply precision; the DoG is a
+    # difference of blurs whose values sit near the contrast threshold
+    # (0.0133), so bf16 noise creates/destroys extrema and degrades
+    # descriptors (SIFT_FIDELITY_r3: 768x1024 case MMA 0.65 on TPU vs 0.92
+    # for the same code on CPU f32).  SIFT is a trivial fraction of
+    # pipeline compute — run all of it at f32 precision.
+    with jax.default_matmul_precision("float32"):
+        return _sift_program_body(
+            gray,
+            max_keypoints=max_keypoints,
+            num_octaves=num_octaves,
+            num_scales=num_scales,
+            contrast_thresh=contrast_thresh,
+            first_octave=first_octave,
+            num_orientations=num_orientations,
+            per_oct=per_oct,
+        )
+
+
+def _sift_program_body(
+    gray: jax.Array,
+    *,
+    max_keypoints: int,
+    num_octaves: int,
+    num_scales: int,
+    contrast_thresh: float,
+    first_octave: int,
+    num_orientations: int,
+    per_oct: int,
+):
     B = gray.shape[0]
     img = gray
     base_factor = 1.0
