@@ -23,6 +23,11 @@ run_stage() {
   echo "=== [$(date +%H:%M:%S)] stage $name exit=$rc ===" | tee -a "$LOG"
 }
 
+# 0. Loop-overhead probe: quantify per-iteration fori/while_loop cost vs
+#    pipelined dispatches (EXTRACT_SWEEP_r3 pathology; informs BA design).
+run_stage LOOP_PROBE "$PY" scripts/record_bench.py --name LOOP_PROBE --round "$ROUND" -- \
+  "$PY" scripts/probe_loop_overhead.py
+
 # 1. RECON cold pass: compiles + disk-caches the new fused-SIFT program and
 #    the mapper programs (not recorded — cache priming only).
 run_stage RECON_PRIME "$PY" scripts/bench_reconstruction.py \
