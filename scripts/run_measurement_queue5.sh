@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3e follow-up queue — runs AFTER queue4 drains.  Adds the bake-off
+# rows queue4's retrain stage does not touch (dummy/hybrid; the r3
+# regenerated QUALITY.{json,md} with those rows was lost to a container
+# restart before it was committed) and regenerates QUALITY.md from the
+# merged JSON.
+#
+# Same discipline: one TPU process at a time, commit per stage.
+# Usage: bash scripts/run_measurement_queue5.sh [round]
+set -u
+ROUND="${1:-3}"
+PY=/opt/venv/bin/python
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+LOG=/tmp/measurement_queue5_r${ROUND}.log
+cd "$ROOT"
+export PYTHONPATH="$ROOT:${PYTHONPATH:-}"
+
+run_stage() {
+  local name="$1"; shift
+  echo "=== [$(date +%H:%M:%S)] stage: $name ===" | tee -a "$LOG"
+  "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "=== [$(date +%H:%M:%S)] stage $name exit=$rc ===" | tee -a "$LOG"
+  for i in 1 2 3; do
+    git add results/ 2>/dev/null && \
+      git commit -q -m "Record ${name} benchmark artifact (queue5)" \
+        -m "No-Verification-Needed: benchmark artifact only, no source change" \
+        2>/dev/null && break
+    sleep 3
+  done
+  git log --oneline -1 | tee -a "$LOG"
+}
+
+# dummy + hybrid rows, merged into the existing QUALITY.json (the bake-off
+# script merges per-row and rewrites QUALITY.md at the end).
+run_stage BAKEOFF_EXTRA "$PY" scripts/quality_bakeoff.py \
+  --work-dir results/quality --extractors dummy,hybrid
+
+echo "=== [$(date +%H:%M:%S)] queue5 complete ===" | tee -a "$LOG"
