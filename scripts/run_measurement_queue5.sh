@@ -38,6 +38,14 @@ run_stage() {
 run_stage BENCH_HEADLINE "$PY" scripts/record_bench.py --name BENCH_HEADLINE --round "$ROUND" -- \
   "$PY" bench.py
 
+# Verification decomposition on the real chip (round-3 finding: DTU-50
+# warm verification = 315 s vs ~110 ms/batch for the SAME program on CPU;
+# this names the slow sub-RANSAC).  Uses the warm recon run's DB.
+if [ -f /tmp/bench_recon_r3d_warm/db.db ]; then
+  run_stage VERIF_PROFILE "$PY" scripts/record_bench.py --name VERIF_PROFILE --round "$ROUND" -- \
+    "$PY" scripts/profile_verification.py --db /tmp/bench_recon_r3d_warm/db.db --batches 4
+fi
+
 # dummy + hybrid rows, merged into the existing QUALITY.json (the bake-off
 # script merges per-row and rewrites QUALITY.md at the end).
 run_stage BAKEOFF_EXTRA "$PY" scripts/quality_bakeoff.py \
