@@ -51,4 +51,12 @@ fi
 run_stage BAKEOFF_EXTRA "$PY" scripts/quality_bakeoff.py \
   --work-dir results/quality --extractors dummy,hybrid
 
+# Continue training 12 -> 24 epochs (train_heads resumes from `latest`
+# when done_epochs < --epochs) and re-evaluate the trained rows: the
+# 12-epoch structure-prior run recovered MMA@3 to 0.430 vs untrained
+# 0.441 — within a hair; more steps on the same supervision is the
+# cheapest lever to close it.
+run_stage BAKEOFF_RETRAIN24 "$PY" scripts/quality_bakeoff.py \
+  --work-dir results/quality --extractors "" --train --epochs 24
+
 echo "=== [$(date +%H:%M:%S)] queue5 complete ===" | tee -a "$LOG"
