@@ -119,38 +119,55 @@ def main() -> None:
         file=sys.stderr,
     )
     key = jax.random.key(0)
-    keys = jax.random.split(key, args.vb)
     dev_batches = [tuple(jnp.asarray(x) for x in b) for b in batches]
+    _ctr = [0]
+
+    def fresh_keys():
+        # Distinct keys per timed dispatch (as the pipeline uses): repeated
+        # identical-input dispatches were observed to under-report by ~1000x
+        # on CPU (0.1 ms/batch for a program that costs ~100 ms fresh).
+        _ctr[0] += 1
+        return jax.random.split(jax.random.fold_in(key, _ctr[0]), args.vb)
 
     def timed(label, per_batch_fn):
-        """per_batch_fn(batch_tuple) -> array; timed over REAL distinct
-        batches (identical-input re-dispatches can be deduped/elided and
-        under-report — seen as 0.1 ms 'full' rows on CPU)."""
-        out = per_batch_fn(dev_batches[0])
+        out = per_batch_fn(dev_batches[0], fresh_keys())
         jax.block_until_ready(out)
         ts = []
-        for _ in range(3):
+        for sweep in range(3):
             t0 = time.perf_counter()
-            outs = [per_batch_fn(b) for b in dev_batches]
-            jax.block_until_ready(outs)
+            per_call = []
+            for b in dev_batches:
+                # Block per dispatch: per-batch cost, not pipelined cost.
+                c0 = time.perf_counter()
+                jax.block_until_ready(per_batch_fn(b, fresh_keys()))
+                per_call.append((time.perf_counter() - c0) * 1e3)
             ts.append((time.perf_counter() - t0) / len(dev_batches))
+            if sweep == 0:
+                print(
+                    f"  [{label}] sweep0 per-call ms: "
+                    + " ".join(f"{c:.1f}" for c in per_call),
+                    file=sys.stderr,
+                )
         ms = min(ts) * 1e3
         print(f"{label:28s} {ms:9.1f} ms/batch", file=sys.stderr)
         return ms
 
     rows = {}
-    pts1, pts2, mask, K1, K2, calib = dev_batches[0]
 
-    def full(b, fp):
+    def full(b, ks, fp):
         p1, p2, m, k1, k2, cal = b
         return R.estimate_two_view_batched(
-            p1, p2, m, k1, k2, cal, keys,
+            p1, p2, m, k1, k2, cal, ks,
             iters=args.iters, max_error_px=4.0, min_num_inliers=15,
             confidence=0.999, five_point=fp,
         ).num_inliers
 
-    rows["full_5pt"] = timed("full (5pt essential)", partial(full, fp=True))
-    rows["full_8pt"] = timed("full (8pt essential)", partial(full, fp=False))
+    rows["full_5pt"] = timed(
+        "full (5pt essential)", lambda b, ks: full(b, ks, True)
+    )
+    rows["full_8pt"] = timed(
+        "full (8pt essential)", lambda b, ks: full(b, ks, False)
+    )
 
     # Component RANSACs at identical shapes (vmapped like the full program).
     thresh_sq = jnp.float32(16.0)
@@ -199,12 +216,12 @@ def main() -> None:
         )(p1, p2, m, ks)
 
     def pix(fn):
-        return lambda b: fn(b[0], b[1], b[2], keys)
+        return lambda b, ks: fn(b[0], b[1], b[2], ks)
 
     def normed(fn):
-        def run(b):
+        def run(b, ks):
             p1, p2, m, k1, k2, _ = b
-            return fn(norm_all(k1, p1), norm_all(k2, p2), m, keys)
+            return fn(norm_all(k1, p1), norm_all(k2, p2), m, ks)
 
         return run
 
