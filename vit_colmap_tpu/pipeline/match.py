@@ -425,6 +425,7 @@ def match_exhaustive(
             # loop cost 82 s clean / 375 s under host contention at DTU-50),
             # then read back in order.
             pending = []
+            t_dispatch0 = time.perf_counter()
             for start in range(0, len(verif_pairs), VB):
                 chunk = verif_pairs[start : start + VB]
                 bsz = len(chunk)
@@ -470,7 +471,11 @@ def match_exhaustive(
                     if hasattr(a, "copy_to_host_async"):
                         a.copy_to_host_async()
                 pending.append((chunk, bsz, res))
+            t_dispatch = time.perf_counter() - t_dispatch0
+            t_read = 0.0
+            t_db0 = time.perf_counter()
             for chunk, bsz, res in pending:
+                tr0 = time.perf_counter()
                 configs = np.asarray(res.config)
                 inl_masks = np.asarray(res.inlier_mask)
                 n_inl = np.asarray(res.num_inliers)
@@ -479,6 +484,7 @@ def match_exhaustive(
                 Hs = np.asarray(res.H, np.float64)
                 qs = np.asarray(res.qvec, np.float64)
                 ts = np.asarray(res.tvec, np.float64)
+                t_read += time.perf_counter() - tr0
                 for b, (i, j) in enumerate(chunk):
                     if b >= bsz or n_inl[b] < config.min_num_inliers:
                         continue
@@ -507,6 +513,16 @@ def match_exhaustive(
             stats.total_inliers,
             stats.verify_seconds,
         )
+        if verif_pairs:
+            # Phase split: dispatch = host assembly + async H2D + program
+            # launches; readback = blocking D2H of results (absorbs any
+            # device backlog); db = host-side inlier packing + DB writes.
+            logger.info(
+                "Verify phases: dispatch %.2fs, readback %.2fs, db %.2fs",
+                t_dispatch,
+                t_read,
+                time.perf_counter() - t_db0 - t_read,
+            )
 
     writer.close()
     return stats
