@@ -92,29 +92,34 @@ def time_stack(cfg, depth, B, N, reps=3, **ablate):
     model = Stack(cfg, depth, **ablate)
     key = jax.random.key(0)
     x = jax.random.normal(key, (B, N, cfg.embed_dim), cfg.dtype)
+    # Params MUST be jit ARGUMENTS, not closed-over constants: embedded
+    # constants ship inside the HLO upload to the remote compile service,
+    # and a 12-block ViT-B stack (~85M params, f32) blows its request-size
+    # limit (queue4: "HTTP 413: length limit exceeded" on every variant
+    # with MLPs present).
     params = model.init(key, x)
 
     def chained(iters):
-        def body(c, _):
-            return model.apply(params, c), None
-
         @jax.jit
-        def prog(x0):
+        def prog(p, x0):
+            def body(c, _):
+                return model.apply(p, c), None
+
             out, _ = jax.lax.scan(body, x0, None, length=iters)
             return jnp.sum(out.astype(jnp.float32))
 
         return prog
 
     f10, f2 = chained(10), chained(2)
-    float(f10(x))  # compile
-    float(f2(x))
+    float(f10(params, x))  # compile
+    float(f2(params, x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(f10(x))
+        float(f10(params, x))
         t10 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(f2(x))
+        float(f2(params, x))
         t2 = time.perf_counter() - t0
         best = min(best, (t10 - t2) / 8.0)
     return best * 1e3  # ms per stack pass
@@ -148,10 +153,14 @@ def main() -> None:
     out = {}
     for name, ablate in variants.items():
         c = cfg
+        b = B
         if name == "attn_xla":
             c = ViTConfig.named(args.backbone, attn_impl="xla")
+            # Materialized (H, N, N) attention at N~9.7k exhausts HBM at
+            # B=2 (queue4: RESOURCE_EXHAUSTED); B=1 is informational only.
+            b = 1
         try:
-            ms = time_stack(c, depth, B, N, **ablate)
+            ms = time_stack(c, depth, b, N, **ablate)
         except Exception as e:
             print(json.dumps({"variant": name,
                               "error": f"{type(e).__name__}: {e}"}))
