@@ -34,6 +34,16 @@ run_stage() {
   git log --oneline -1 | tee -a "$LOG"
 }
 
+# Wire-format A/B: headline dropped 30.95 (r2, yuv420) -> 27.9 (r3 quiet,
+# yuv420c4) despite c4 moving 25% fewer H2D bytes.  Either today's relay
+# is slower, or the in-program 4-bit chroma unpack costs more device time
+# than the wire it saves.  Same bench, two formats, back to back.
+run_stage BENCH_YUV420 "$PY" scripts/record_bench.py --name BENCH_YUV420 --round "$ROUND" -- \
+  "$PY" bench.py --transfer-format yuv420
+
+run_stage BENCH_YUV420C4 "$PY" scripts/record_bench.py --name BENCH_YUV420C4 --round "$ROUND" -- \
+  "$PY" bench.py --transfer-format yuv420c4
+
 run_stage RECON "$PY" scripts/record_bench.py --name RECON --round "$ROUND" -- \
   "$PY" scripts/bench_reconstruction.py --images 50 --work-dir /tmp/bench_recon_r3f
 
