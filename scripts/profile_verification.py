@@ -129,17 +129,25 @@ def main() -> None:
         _ctr[0] += 1
         return jax.random.split(jax.random.fold_in(key, _ctr[0]), args.vb)
 
+    def sync(out):
+        # The ONLY trustworthy synchronization on the axon relay is D2H
+        # materialization: jax.block_until_ready has been observed to
+        # return immediately (phantom 0.1-0.6 ms "timings" for programs
+        # that demonstrably cost 100+ ms) — apparently racy around
+        # in-flight remote compiles/executions.  np.asarray forces the
+        # device to finish and ship the bytes.
+        return np.asarray(out).sum()
+
     def timed(label, per_batch_fn):
-        out = per_batch_fn(dev_batches[0], fresh_keys())
-        jax.block_until_ready(out)
+        sync(per_batch_fn(dev_batches[0], fresh_keys()))
         ts = []
         for sweep in range(3):
             t0 = time.perf_counter()
             per_call = []
             for b in dev_batches:
-                # Block per dispatch: per-batch cost, not pipelined cost.
+                # Sync per dispatch: per-batch cost, not pipelined cost.
                 c0 = time.perf_counter()
-                jax.block_until_ready(per_batch_fn(b, fresh_keys()))
+                sync(per_batch_fn(b, fresh_keys()))
                 per_call.append((time.perf_counter() - c0) * 1e3)
             ts.append((time.perf_counter() - t0) / len(dev_batches))
             if sweep == 0:

@@ -351,12 +351,18 @@ class ViTExtractor(BaseExtractor):
         fused = self._forward[2]
         comps, mean = self._pca
         # Warm dispatch outside the timing (compile + first launch).
-        jax.block_until_ready(fused(self.params, staged, comps, mean))
+        # Sync via D2H materialization, NOT block_until_ready: on the axon
+        # relay block_until_ready can return before the device finishes
+        # (phantom sub-ms timings observed for 100+ ms programs); reading
+        # a small output back is the only reliable barrier.  The scores
+        # array (B, K) f32 is ~32 KB — amortized over ``reps`` dispatches
+        # it adds <1 ms/rep of wire time.
+        np.asarray(fused(self.params, staged, comps, mean)[1])
         t0 = _time.perf_counter()
         out = None
         for _ in range(reps):
             out = fused(self.params, staged, comps, mean)
-        jax.block_until_ready(out)
+        np.asarray(out[1])
         return _time.perf_counter() - t0
 
     def extract_batch(self, images_u8: np.ndarray):

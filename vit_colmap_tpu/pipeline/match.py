@@ -415,6 +415,13 @@ def match_exhaustive(
         verif_pairs = [
             (i, j) for (i, j), m in all_matches.items() if len(m) >= 8
         ]
+        # Batch pairs by difficulty proxy (raw match count): the batched
+        # RANSAC's while_loops run in lane LOCKSTEP under vmap, so one
+        # low-inlier-ratio pair drags its 15 batchmates through its full
+        # hypothesis budget.  Grouping likely-hard (few-match) pairs
+        # together confines that cost to few batches instead of smearing
+        # it over all of them.
+        verif_pairs.sort(key=lambda p: len(all_matches[p]))
         if verif_pairs:
             k_max = _next_pow2(max(len(all_matches[p]) for p in verif_pairs))
             VB = config.pair_batch
