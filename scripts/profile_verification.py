@@ -36,7 +36,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def load_batches(db_path: str, vb: int, n_batches: int):
+def load_batches(db_path: str, vb: int, n_batches: int, hard: bool = False):
     con = sqlite3.connect(db_path)
     kp = {}
     for iid, rows, cols, data in con.execute(
@@ -71,6 +71,12 @@ def load_batches(db_path: str, vb: int, n_batches: int):
             continue
         m = np.frombuffer(data, np.uint32).reshape(rows, 2).astype(np.int64)
         pairs.append((int(pid // 2147483647), int(pid % 2147483647), m))
+    if hard:
+        # Hardest pairs first (fewest raw matches — the pipeline's own
+        # difficulty proxy).  Without this the profiler sees only the
+        # easy image-1-adjacent pairs and misses the lockstep-dominated
+        # batches that set the verification wall-clock.
+        pairs.sort(key=lambda t: len(t[2]))
     k_max = 1 << int(np.ceil(np.log2(max(len(m) for *_, m in pairs))))
     batches = []
     for start in range(0, min(len(pairs), vb * n_batches), vb):
@@ -98,6 +104,8 @@ def main() -> None:
     ap.add_argument("--vb", type=int, default=16)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--iters", type=int, default=1024)
+    ap.add_argument("--hard", action="store_true",
+                    help="profile the hardest (fewest-match) pairs")
     args = ap.parse_args()
 
     from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
@@ -112,7 +120,7 @@ def main() -> None:
     from vit_colmap_tpu.sfm import geometry as geom
     from vit_colmap_tpu.sfm.five_point import fit_essential_5pt
 
-    batches, k_max = load_batches(args.db, args.vb, args.batches)
+    batches, k_max = load_batches(args.db, args.vb, args.batches, args.hard)
     print(
         f"{len(batches)} batches of {args.vb} pairs, k_max={k_max}, "
         f"device={jax.devices()[0]}",
@@ -162,16 +170,22 @@ def main() -> None:
 
     rows = {}
 
-    def full(b, ks, fp):
+    def full(b, ks, fp, fpc=32):
         p1, p2, m, k1, k2, cal = b
         return R.estimate_two_view_batched(
             p1, p2, m, k1, k2, cal, ks,
             iters=args.iters, max_error_px=4.0, min_num_inliers=15,
-            confidence=0.999, five_point=fp,
+            confidence=0.999, five_point=fp, five_point_chunk=fpc,
         ).num_inliers
 
     rows["full_5pt"] = timed(
         "full (5pt essential)", lambda b, ks: full(b, ks, True)
+    )
+    rows["full_5pt_c16"] = timed(
+        "full (5pt, chunk 16)", lambda b, ks: full(b, ks, True, 16)
+    )
+    rows["full_5pt_c8"] = timed(
+        "full (5pt, chunk 8)", lambda b, ks: full(b, ks, True, 8)
     )
     rows["full_8pt"] = timed(
         "full (8pt essential)", lambda b, ks: full(b, ks, False)

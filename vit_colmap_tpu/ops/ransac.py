@@ -246,6 +246,7 @@ def _ransac_model_multi(
         "confidence",
         "five_point",
         "h_iters",
+        "five_point_chunk",
     ),
 )
 def estimate_two_view(
@@ -263,6 +264,7 @@ def estimate_two_view(
     confidence: float = 0.999,
     five_point: bool = True,
     h_iters: int = 256,
+    five_point_chunk: int = 32,
 ) -> TwoViewResult:
     """COLMAP-style two-view geometry: estimate E (calibrated), F and H,
     arbitrate the configuration (CALIBRATED / UNCALIBRATED /
@@ -312,6 +314,7 @@ def estimate_two_view(
         E_direct, e_inl, e_cnt = _ransac_model_multi(
             fit_essential_5pt, geom.fit_essential, geom.sampson_error,
             p1n, p2n, mask, ke, iters, 5, thresh_sq_n, confidence,
+            chunk_size=five_point_chunk,
         )
     else:
         E_direct, e_inl, e_cnt = _ransac_model(
@@ -384,6 +387,7 @@ def estimate_two_view(
         "confidence",
         "five_point",
         "h_iters",
+        "five_point_chunk",
     ),
 )
 def estimate_two_view_batched(
