@@ -424,7 +424,7 @@ def match_exhaustive(
         verif_pairs.sort(key=lambda p: len(all_matches[p]))
         if verif_pairs:
             k_max = _next_pow2(max(len(all_matches[p]) for p in verif_pairs))
-            VB = config.pair_batch
+            VB = getattr(config, "verify_pair_batch", None) or config.pair_batch
             key = jax.random.key(seed)
             # Software pipeline: dispatch every batch asynchronously first
             # (host assembly of batch k+1 and the DB writes overlap batch
@@ -472,6 +472,7 @@ def match_exhaustive(
                     min_num_inliers=config.min_num_inliers,
                     confidence=config.ransac_confidence,
                     five_point=config.essential_solver == "5pt",
+                    five_point_chunk=getattr(config, "five_point_chunk", 16),
                 )
                 # Start D2H copies now; they drain while later batches run.
                 for a in res:

@@ -139,13 +139,14 @@ class Pipeline:
             k_hi = 1 << max(int(self.config.extractor.max_keypoints) - 1, 127).bit_length()
             for k_bucket in {k_hi, max(k_hi // 2, 128)}:
                 prewarm_two_view_program(
-                    mc.pair_batch,
+                    getattr(mc, "verify_pair_batch", None) or mc.pair_batch,
                     k_bucket,
                     iters=mc.ransac_iters,
                     max_error_px=mc.ransac_max_error_px,
                     min_num_inliers=mc.min_num_inliers,
                     confidence=mc.ransac_confidence,
                     five_point=mc.essential_solver == "5pt",
+                    five_point_chunk=getattr(mc, "five_point_chunk", 16),
                 )
         t0 = time.perf_counter()
         with timer.stage("extract"):

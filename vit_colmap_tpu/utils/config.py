@@ -93,6 +93,16 @@ class MatchingConfig:
     # Calibrated essential solver: "5pt" (Nister minimal, COLMAP's choice)
     # or "8pt" (8-point on normalized coords + manifold projection).
     essential_solver: str = "5pt"
+    # Pairs per verification program.  Larger than pair_batch: verification
+    # is round-trip-bound on the relay (per-batch host assembly + H2D +
+    # launch dwarf the ~110 ms program), and the lockstep fixes bound the
+    # cost a hard lane can impose on its batchmates.  64 cuts DTU-50's
+    # 1225 pairs from 77 round-trips to 20.
+    verify_pair_batch: int = 64
+    # 5pt hypothesis-chunk size (samples per while-loop iteration): 16
+    # measured ~13% faster than 32 on hardest-batch profiles (finer
+    # early-exit granularity; results/VERIF_HARD_r3.json).
+    five_point_chunk: int = 16
 
 
 @dataclass
