@@ -415,12 +415,23 @@ def prewarm_two_view_program(
     host/service-side; no device time is consumed).  Returns the thread;
     join() is optional — results land in jit's compile cache keyed by
     shape, so the later real call picks them up automatically.
+
+    After compiling, the program is also EXECUTED once on zero inputs and
+    a small output is materialized: the first dispatch of a program pays a
+    large one-time tax on the relay (executable upload + dispatch-path
+    setup — measured 76-105 s for the DTU-50 verification program, vs ~5 s
+    for every subsequent full 1225-pair pass; results/VERIFY_VB_AB_r3.json).
+    A pipeline runs verification once per scene, so without this it always
+    pays that tax inside the verification stage; executing here moves it
+    under extraction where the device is busy but the dispatch path is idle.
     """
     import threading
 
+    import numpy as np
+
     def _build():
         try:
-            estimate_two_view_batched.lower(
+            args = (
                 jnp.zeros((pair_batch, k_max, 2), jnp.float32),
                 jnp.zeros((pair_batch, k_max, 2), jnp.float32),
                 jnp.zeros((pair_batch, k_max), bool),
@@ -428,8 +439,15 @@ def prewarm_two_view_program(
                 jnp.zeros((pair_batch, 3, 3), jnp.float32),
                 jnp.zeros(pair_batch, bool),
                 jax.random.split(jax.random.key(0), pair_batch),
-                **kwargs,
-            ).compile()
+            )
+            estimate_two_view_batched.lower(*args, **kwargs).compile()
+            # First-dispatch warm-up (all-padding batch: the while_loops
+            # exit immediately, so device time is negligible).  Goes
+            # through the normal jit path so the warm dispatch state is
+            # exactly what the real call will use.
+            np.asarray(
+                estimate_two_view_batched(*args, **kwargs).num_inliers
+            )
         except Exception:  # pragma: no cover - best effort
             import logging
 
