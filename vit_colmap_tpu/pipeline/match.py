@@ -424,6 +424,12 @@ def match_exhaustive(
         verif_pairs.sort(key=lambda p: len(all_matches[p]))
         if verif_pairs:
             k_max = _next_pow2(max(len(all_matches[p]) for p in verif_pairs))
+            if jax.default_backend() not in ("cpu", "gpu"):
+                # Align with the prewarmed K-buckets (run_pipeline warms
+                # {<=1024, 512} and EXECUTES them once): the first dispatch
+                # of a not-yet-run program pays a 76-105 s relay tax, far
+                # more than padding a small scene's correspondences to 512.
+                k_max = max(k_max, 512)
             VB = getattr(config, "verify_pair_batch", None) or config.pair_batch
             key = jax.random.key(seed)
             # Software pipeline: dispatch every batch asynchronously first

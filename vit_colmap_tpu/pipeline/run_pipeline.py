@@ -136,8 +136,16 @@ class Pipeline:
             from vit_colmap_tpu.ops.ransac import prewarm_two_view_program
 
             mc = self.config.matching
+            # K-bucket = next_pow2(max RAW MATCHES per pair), which is far
+            # below max_keypoints in practice (mutual-NN + ratio test pass
+            # ~15-25% of keypoints: DTU-50 at max_keypoints=2048 tops out
+            # at 313 matches -> bucket 512).  Warming {k_hi, k_hi/2}
+            # derived from max_keypoints warmed programs the scene never
+            # runs — and the first dispatch of the REAL program then paid
+            # the 76-105 s relay executable-upload tax inside the
+            # verification stage (results/VERIFY_VB_AB_r3.json).
             k_hi = 1 << max(int(self.config.extractor.max_keypoints) - 1, 127).bit_length()
-            for k_bucket in {k_hi, max(k_hi // 2, 128)}:
+            for k_bucket in {min(k_hi, 1024), min(max(k_hi // 2, 128), 512)}:
                 prewarm_two_view_program(
                     getattr(mc, "verify_pair_batch", None) or mc.pair_batch,
                     k_bucket,
