@@ -403,10 +403,13 @@ def estimate_two_view_batched(
 
 
 def prewarm_two_view_program(
-    pair_batch: int, k_max: int, **kwargs
+    pair_batch: int, k_max, **kwargs
 ) -> "threading.Thread":
-    """AOT-compile the batched verification program for shape
-    ``(pair_batch, k_max)`` in a background thread.
+    """AOT-compile the batched verification program(s) for shape
+    ``(pair_batch, k)`` for each k in ``k_max`` (int or iterable) in ONE
+    background thread, smallest k first — the smallest bucket is the most
+    likely real bucket, and warming sequentially lets it finish within the
+    extraction window instead of contending with a larger sibling.
 
     Verification programs compile per (pair_batch, K-bucket) shape; on the
     remote-compile TPU service a cold compile costs tens of seconds that
@@ -429,31 +432,35 @@ def prewarm_two_view_program(
 
     import numpy as np
 
-    def _build():
-        try:
-            args = (
-                jnp.zeros((pair_batch, k_max, 2), jnp.float32),
-                jnp.zeros((pair_batch, k_max, 2), jnp.float32),
-                jnp.zeros((pair_batch, k_max), bool),
-                jnp.zeros((pair_batch, 3, 3), jnp.float32),
-                jnp.zeros((pair_batch, 3, 3), jnp.float32),
-                jnp.zeros(pair_batch, bool),
-                jax.random.split(jax.random.key(0), pair_batch),
-            )
-            estimate_two_view_batched.lower(*args, **kwargs).compile()
-            # First-dispatch warm-up (all-padding batch: the while_loops
-            # exit immediately, so device time is negligible).  Goes
-            # through the normal jit path so the warm dispatch state is
-            # exactly what the real call will use.
-            np.asarray(
-                estimate_two_view_batched(*args, **kwargs).num_inliers
-            )
-        except Exception:  # pragma: no cover - best effort
-            import logging
+    buckets = sorted({k_max} if isinstance(k_max, int) else set(k_max))
 
-            logging.getLogger(__name__).debug(
-                "verification prewarm failed", exc_info=True
-            )
+    def _build():
+        for k in buckets:
+            try:
+                args = (
+                    jnp.zeros((pair_batch, k, 2), jnp.float32),
+                    jnp.zeros((pair_batch, k, 2), jnp.float32),
+                    jnp.zeros((pair_batch, k), bool),
+                    jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                    jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                    jnp.zeros(pair_batch, bool),
+                    jax.random.split(jax.random.key(0), pair_batch),
+                )
+                estimate_two_view_batched.lower(*args, **kwargs).compile()
+                # First-dispatch warm-up (all-padding batch: the
+                # while_loops exit immediately, so device time is
+                # negligible).  Goes through the normal jit path so the
+                # warm dispatch state is exactly what the real call will
+                # use.
+                np.asarray(
+                    estimate_two_view_batched(*args, **kwargs).num_inliers
+                )
+            except Exception:  # pragma: no cover - best effort
+                import logging
+
+                logging.getLogger(__name__).debug(
+                    "verification prewarm failed", exc_info=True
+                )
 
     t = threading.Thread(target=_build, daemon=True, name="verif-prewarm")
     t.start()

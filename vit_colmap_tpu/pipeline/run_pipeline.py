@@ -145,17 +145,16 @@ class Pipeline:
             # the 76-105 s relay executable-upload tax inside the
             # verification stage (results/VERIFY_VB_AB_r3.json).
             k_hi = 1 << max(int(self.config.extractor.max_keypoints) - 1, 127).bit_length()
-            for k_bucket in {min(k_hi, 1024), min(max(k_hi // 2, 128), 512)}:
-                prewarm_two_view_program(
-                    getattr(mc, "verify_pair_batch", None) or mc.pair_batch,
-                    k_bucket,
-                    iters=mc.ransac_iters,
-                    max_error_px=mc.ransac_max_error_px,
-                    min_num_inliers=mc.min_num_inliers,
-                    confidence=mc.ransac_confidence,
-                    five_point=mc.essential_solver == "5pt",
-                    five_point_chunk=getattr(mc, "five_point_chunk", 16),
-                )
+            prewarm_two_view_program(
+                getattr(mc, "verify_pair_batch", None) or mc.pair_batch,
+                {min(k_hi, 1024), min(max(k_hi // 2, 128), 512)},
+                iters=mc.ransac_iters,
+                max_error_px=mc.ransac_max_error_px,
+                min_num_inliers=mc.min_num_inliers,
+                confidence=mc.ransac_confidence,
+                five_point=mc.essential_solver == "5pt",
+                five_point_chunk=getattr(mc, "five_point_chunk", 16),
+            )
         t0 = time.perf_counter()
         with timer.stage("extract"):
             extractor = self._make_extractor()
