@@ -72,13 +72,29 @@ def main() -> None:
     pipe.run(image_dir, work / "out", db_path)
     wall = time.perf_counter() - t0
 
-    registered = points3d = 0
+    registered = points3d = observations = 0
     reproj = 0.0
+    track_mean = 0.0
+    track_hist: dict[str, int] = {}
     if pipe.reconstructions:
         registered = sum(len(r.images) for r in pipe.reconstructions.values())
         points3d = sum(len(r.points3D) for r in pipe.reconstructions.values())
         biggest = max(pipe.reconstructions.values(), key=lambda r: len(r.images))
         reproj = biggest.mean_reprojection_error()
+        # Track statistics: distinguishes merge CONSOLIDATION (fewer points
+        # but longer tracks, total observations preserved) from lost
+        # coverage (observations drop too) — the r3 mapper changes cut
+        # points3d 2494 -> ~749 at better reproj, and this answers which.
+        lens = [
+            len(pt.track)
+            for r in pipe.reconstructions.values()
+            for pt in r.points3D.values()
+        ]
+        observations = int(sum(lens))
+        track_mean = float(sum(lens)) / max(len(lens), 1)
+        for n in lens:
+            b = str(n) if n < 8 else "8+"
+            track_hist[b] = track_hist.get(b, 0) + 1
 
     print(json.dumps({
         "metric": "recon_wall_clock_s",
@@ -90,6 +106,9 @@ def main() -> None:
         "registered_images": registered,
         "registration_rate": round(100.0 * registered / args.images, 1),
         "points3d": points3d,
+        "observations": observations,
+        "mean_track_length": round(track_mean, 2),
+        "track_length_hist": dict(sorted(track_hist.items())),
         "mean_reproj_error_px": round(reproj, 3),
         "resolution": f"{args.height}x{args.width}",
         "device": str(jax.devices()[0]),
