@@ -180,8 +180,11 @@ def run_bench(
         assert len(db_arrays) == 4 * len(ex_pending)
         return time.perf_counter() - t0, t_ex, n_matches
 
-    # Best of 3: the host<->device link in this environment is jittery.
-    results = [run_pipeline() for _ in range(3)]
+    # Best of 5: the host<->device link in this environment is jittery
+    # (same-code headline measured 21.6-29.6 pairs/s across relay epochs);
+    # extra reps cost <1 s each and improve the odds of sampling the
+    # epoch's true floor.
+    results = [run_pipeline() for _ in range(5)]
     best = min(results, key=lambda r: r[0])
     total, t_extract, total_matches = best
     t_match = total - t_extract
