@@ -264,7 +264,7 @@ def estimate_two_view(
     confidence: float = 0.999,
     five_point: bool = True,
     h_iters: int = 256,
-    five_point_chunk: int = 32,
+    five_point_chunk: int = 16,
 ) -> TwoViewResult:
     """COLMAP-style two-view geometry: estimate E (calibrated), F and H,
     arbitrate the configuration (CALIBRATED / UNCALIBRATED /
