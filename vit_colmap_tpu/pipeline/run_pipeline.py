@@ -38,9 +38,27 @@ class Pipeline:
         enable_persistent_cache()
         self.config = config or Config()
         self.reconstructions: dict[int, object] = {}
+        # Extractor instances are memoized per config so a long-lived
+        # Pipeline (serving mode, :mod:`vit_colmap_tpu.pipeline.serve`)
+        # reuses their per-instance jitted programs across scenes.  On a
+        # remote-relay TPU the first dispatch of each compiled program pays
+        # an executable-upload tax (~66 s for the fused SIFT program,
+        # results/EXTRACT_TAX_r3.json) that a fresh extractor would re-pay
+        # every scene.
+        self._extractors: dict[tuple, object] = {}
 
     # ------------------------------------------------------------ dispatch
     def _make_extractor(self):
+        ecfg = self.config.extractor
+        key = tuple(sorted((k, str(v)) for k, v in vars(ecfg).items()))
+        cached = self._extractors.get(key)
+        if cached is not None:
+            return cached
+        extractor = self._build_extractor()
+        self._extractors[key] = extractor
+        return extractor
+
+    def _build_extractor(self):
         etype = self.config.extractor.extractor_type
         if etype == "dummy":
             from vit_colmap_tpu.features.dummy_extractor import DummyExtractor
@@ -96,7 +114,7 @@ class Pipeline:
         dataset: Optional[str] = None,
         scene: Optional[str] = None,
         results_dir: Optional[Path] = None,
-    ) -> None:
+    ) -> Optional[dict]:
         image_dir = Path(image_dir)
         output_dir = Path(output_dir)
         db_path = Path(db_path)
@@ -110,16 +128,17 @@ class Pipeline:
         logger.info("Devices: %s", jax.devices())
         logger.info("\n%s", self.config.summary())
         with trace():  # jax.profiler trace when VIT_COLMAP_PROFILE_DIR is set
-            self._run_traced(
+            report = self._run_traced(
                 image_dir, output_dir, db_path, dataset, scene, results_dir,
                 GLOBAL_TIMER, trace,
             )
         logger.info("\n%s", GLOBAL_TIMER.summary())
+        return report
 
     def _run_traced(
         self, image_dir, output_dir, db_path, dataset, scene, results_dir,
         timer, trace,
-    ) -> None:
+    ) -> Optional[dict]:
         import jax
 
         # Stage 1: extraction -------------------------------------------------
@@ -168,7 +187,7 @@ class Pipeline:
             num_images = db.num_images
         if num_images == 0:
             logger.error("No images were processed; aborting")
-            return
+            return None
         logger.info(
             "Extraction: %d images in %.2fs (%.2f img/s)",
             num_images,
@@ -221,6 +240,21 @@ class Pipeline:
             self.extract_and_export_metrics(
                 db_path, output_dir, dataset, scene, results_dir
             )
+        report = {
+            "num_images": num_images,
+            "extract_s": round(t_extract, 3),
+            "match_verify_s": round(t_match, 3),
+            "reconstruction_s": round(t_recon, 3),
+            "total_s": round(t_extract + t_match + t_recon, 3),
+        }
+        if self.reconstructions:
+            report["registered_images"] = sum(
+                len(r.images) for r in self.reconstructions.values()
+            )
+            report["points3d"] = sum(
+                len(r.points3D) for r in self.reconstructions.values()
+            )
+        return report
 
     # ------------------------------------------------------------- summary
     def _print_summary(
