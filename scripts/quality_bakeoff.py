@@ -168,6 +168,7 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
         "--top-k", str(top_k),
         "--output-dir", str(ckpt_dir),
         "--synthetic-ratio", "0.3",
+        "--photometric-strength", "0.5",
         "--seed", "0",
     ] + resume
     print(f"Training trainable head: {' '.join(argv)}")

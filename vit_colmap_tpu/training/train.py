@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["conservative", "moderate", "aggressive"])
     ap.add_argument("--synthetic-only", action="store_true",
                     help="Train on generated image pairs (no dataset needed)")
+    ap.add_argument("--photometric-strength", type=float, default=0.5,
+                    help="brightness/contrast/gamma/noise jitter on img2 "
+                         "(p=0.5 per sample; 0 = reference's geometric-only "
+                         "pairs)")
     ap.add_argument("--synthetic-image-size", type=int, default=224,
                     help="Image side for --synthetic-only batches")
     ap.add_argument("--val-fraction", type=float, default=0.1)
@@ -94,13 +98,14 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def _synthetic_batches(batch_size, h, w, steps, preset, seed):
+def _synthetic_batches(batch_size, h, w, steps, preset, seed, photometric=0.0):
     """Generated-pair stream for --synthetic-only runs."""
     import cv2
 
     from vit_colmap_tpu.dataloader.synthetic_homography import (
         SyntheticHomographyConfig,
         create_synthetic_pair,
+        photometric_jitter,
     )
 
     cfg = SyntheticHomographyConfig.preset(preset)
@@ -113,6 +118,8 @@ def _synthetic_batches(batch_size, h, w, steps, preset, seed):
             base = rng.integers(0, 255, (h // 4, w // 4, 3), dtype=np.uint8)
             img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
             warped, H = create_synthetic_pair(img, cfg, rng)
+            if photometric > 0 and rng.random() < 0.5:
+                warped = photometric_jitter(warped, rng, photometric)
             im1[b], im2[b], Hs[b] = img, warped, H
         yield {"image1": im1, "image2": im2, "H": Hs}
 
@@ -226,6 +233,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             return _synthetic_batches(
                 args.batch_size, h, w, steps_per_epoch,
                 args.synthetic_preset, args.seed + epoch,
+                photometric=args.photometric_strength,
             )
         def val_stream():
             return _synthetic_batches(
@@ -251,6 +259,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             synthetic_config=SyntheticHomographyConfig.preset(
                 args.synthetic_preset
             ),
+            photometric_strength=args.photometric_strength,
             seed=args.seed,
         )
         train_idx, val_idx = train_val_split(dataset, args.val_fraction, args.seed)
