@@ -345,3 +345,45 @@ def test_bundle_adjust_dist_default_none_unchanged():
     )
     assert float(msr) < 0.05
     np.testing.assert_allclose(np.asarray(dist_out), 0.0, atol=1e-10)
+
+
+def test_bundle_adjust_packed_matches_unpacked():
+    """The packed single-transfer entry point (relay round-trip saver used by
+    the mapper) must reproduce the unpacked solver exactly."""
+    from vit_colmap_tpu.sfm.bundle import (
+        bundle_adjust_packed,
+        pack_ba_problem,
+        unpack_ba_result,
+    )
+
+    X, K, cams = _look_at_scene(n_pts=40, n_cams=3)
+    rng = np.random.default_rng(5)
+    cam = np.zeros((3, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:6] = t
+    pts = (X + 0.03 * rng.standard_normal(X.shape)).astype(np.float32)
+    problem = _make_ba_problem(cams, K, X, cam, pts)
+    n_img, n_cam = problem.cam_params.shape[0], problem.focal_log.shape[0]
+    n_pts, n_obs = problem.points.shape[0], problem.obs_cam.shape[0]
+
+    ref = bundle_adjust(problem, iters=8, cg_iters=20)
+    fbuf, ibuf, bbuf = pack_ba_problem(
+        problem.cam_params, problem.focal_log,
+        np.zeros((n_cam, 2), np.float32), problem.points,
+        problem.obs_cam, problem.obs_point, problem.obs_xy,
+        problem.obs_valid, problem.K, problem.cam_of_img,
+        problem.fixed_cam_mask, problem.refine_focal_mask,
+        np.zeros((n_cam, 2), bool),
+    )
+    out = bundle_adjust_packed(
+        fbuf, ibuf, bbuf, n_img=n_img, n_cam=n_cam, n_pts=n_pts,
+        n_obs=n_obs, iters=8, cg_iters=20,
+    )
+    cam_o, focal_o, dist_o, pts_o, msr = unpack_ba_result(
+        out, n_img, n_cam, n_pts
+    )
+    np.testing.assert_allclose(cam_o, np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(focal_o, np.asarray(ref[1]), atol=1e-6)
+    np.testing.assert_allclose(pts_o, np.asarray(ref[3]), atol=1e-5)
+    assert abs(msr - float(ref[4])) < 1e-6

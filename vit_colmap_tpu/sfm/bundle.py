@@ -307,3 +307,133 @@ def bundle_adjust(
     n_valid = jnp.maximum(jnp.sum(problem.obs_valid), 1)
     msr = jnp.sum(jnp.sum(r * r, axis=-1)) / n_valid
     return cam, focal, dist, pts, msr
+
+
+# ---------------------------------------------------------------------------
+# Packed single-transfer entry point.
+#
+# On a remote-relay device (this environment's axon tunnel) every H2D/D2H
+# array transfer is a full round trip: calling ``bundle_adjust`` with a
+# 13-field BAProblem plus reading back its 5 outputs costs ~18 round trips
+# per call, and the mapper makes one local-BA call per registration —
+# measured as the dominant mapper substep (lba 79.5 s at DTU-50).  The
+# packed form moves the problem in THREE typed buffers and returns ONE.
+# ---------------------------------------------------------------------------
+
+
+def pack_ba_problem(cam, focal_log, dist, pts, obs_cam, obs_pt, obs_xy,
+                    obs_valid, K, cam_of_img, fixed, refine_focal,
+                    refine_dist):
+    """Host-side packing into (fbuf f32, ibuf i32, bbuf bool) numpy buffers.
+
+    Layout must mirror ``bundle_adjust_packed``'s unpacking exactly.
+    """
+    import numpy as np
+
+    fbuf = np.concatenate([
+        np.asarray(cam, np.float32).ravel(),
+        np.asarray(focal_log, np.float32).ravel(),
+        np.asarray(dist, np.float32).ravel(),
+        np.asarray(pts, np.float32).ravel(),
+        np.asarray(obs_xy, np.float32).ravel(),
+        np.asarray(K, np.float32).ravel(),
+    ])
+    ibuf = np.concatenate([
+        np.asarray(obs_cam, np.int32).ravel(),
+        np.asarray(obs_pt, np.int32).ravel(),
+        np.asarray(cam_of_img, np.int32).ravel(),
+    ])
+    bbuf = np.concatenate([
+        np.asarray(obs_valid, bool).ravel(),
+        np.asarray(fixed, bool).ravel(),
+        np.asarray(refine_focal, bool).ravel(),
+        np.asarray(refine_dist, bool).ravel(),
+    ])
+    return fbuf, ibuf, bbuf
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_img", "n_cam", "n_pts", "n_obs", "iters", "cg_iters",
+        "huber_delta",
+    ),
+)
+def bundle_adjust_packed(
+    fbuf: jax.Array,
+    ibuf: jax.Array,
+    bbuf: jax.Array,
+    *,
+    n_img: int,
+    n_cam: int,
+    n_pts: int,
+    n_obs: int,
+    iters: int = 20,
+    cg_iters: int = 50,
+    huber_delta: float = 3.0,
+) -> jax.Array:
+    """``bundle_adjust`` over packed buffers; returns one packed vector
+    [cam (n_img*6) | focal (n_cam) | dist (n_cam*2) | pts (n_pts*3) | msr]."""
+    o = 0
+
+    def take_f(n, shape):
+        nonlocal o
+        out = jax.lax.dynamic_slice_in_dim(fbuf, o, n).reshape(shape)
+        o += n
+        return out
+
+    cam = take_f(n_img * 6, (n_img, 6))
+    focal = take_f(n_cam, (n_cam,))
+    dist = take_f(n_cam * 2, (n_cam, 2))
+    pts = take_f(n_pts * 3, (n_pts, 3))
+    obs_xy = take_f(n_obs * 2, (n_obs, 2))
+    K = take_f(n_img * 9, (n_img, 3, 3))
+    obs_cam = ibuf[:n_obs]
+    obs_pt = ibuf[n_obs : 2 * n_obs]
+    cam_of_img = ibuf[2 * n_obs : 2 * n_obs + n_img]
+    obs_valid = bbuf[:n_obs]
+    fixed = bbuf[n_obs : n_obs + n_img]
+    refine_focal = bbuf[n_obs + n_img : n_obs + n_img + n_cam]
+    refine_dist = bbuf[
+        n_obs + n_img + n_cam : n_obs + n_img + n_cam + n_cam * 2
+    ].reshape(n_cam, 2)
+
+    problem = BAProblem(
+        cam_params=cam,
+        focal_log=focal,
+        points=pts,
+        obs_cam=obs_cam,
+        obs_point=obs_pt,
+        obs_xy=obs_xy,
+        obs_valid=obs_valid,
+        K=K,
+        cam_of_img=cam_of_img,
+        fixed_cam_mask=fixed,
+        refine_focal_mask=refine_focal,
+        dist=dist,
+        refine_dist_mask=refine_dist,
+    )
+    cam_o, focal_o, dist_o, pts_o, msr = bundle_adjust(
+        problem, iters=iters, cg_iters=cg_iters, huber_delta=huber_delta
+    )
+    return jnp.concatenate([
+        cam_o.ravel(), focal_o, dist_o.ravel(), pts_o.ravel(), msr[None]
+    ])
+
+
+def unpack_ba_result(out, n_img: int, n_cam: int, n_pts: int):
+    """Split the packed result (numpy, after ONE D2H) back into parts."""
+    import numpy as np
+
+    out = np.asarray(out, np.float64)
+    o_f = n_img * 6
+    o_d = o_f + n_cam
+    o_p = o_d + n_cam * 2
+    o_e = o_p + n_pts * 3
+    return (
+        out[:o_f].reshape(n_img, 6),
+        out[o_f:o_d],
+        out[o_d:o_p].reshape(n_cam, 2),
+        out[o_p:o_e].reshape(n_pts, 3),
+        float(out[o_e]),
+    )

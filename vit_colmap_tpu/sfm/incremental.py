@@ -31,12 +31,13 @@ from vit_colmap_tpu.database import ColmapDatabase
 from vit_colmap_tpu.pipeline.match import camera_matrix
 from vit_colmap_tpu.sfm import geometry as geom
 from vit_colmap_tpu.sfm.bundle import (
-    BAProblem,
     axis_angle_to_matrix,
-    bundle_adjust,
+    bundle_adjust_packed,
     matrix_to_axis_angle,
+    pack_ba_problem,
+    unpack_ba_result,
 )
-from vit_colmap_tpu.sfm.pnp import pnp_ransac
+from vit_colmap_tpu.sfm.pnp import pnp_ransac_packed
 from vit_colmap_tpu.sfm.reconstruction import (
     Camera,
     Image,
@@ -153,10 +154,14 @@ class IncrementalMapper:
         self.s = state
         self.pair_matches = pair_matches  # (id1, id2) -> (M, 2) uint32 inliers
         self.cfg = config
-        self._key = jax.random.key(0)
+        with _cpu_scope():  # keep the key chain off the relay (see _split_key)
+            self._key = jax.random.key(0)
 
     def _split_key(self):
-        self._key, k = jax.random.split(self._key)
+        # Split on the host CPU backend: on the relay an eager split is a
+        # full dispatch round trip per registration.
+        with _cpu_scope():
+            self._key, k = jax.random.split(self._key)
         return k
 
     # ------------------------------------------------------ initialization
@@ -310,22 +315,24 @@ class IncrementalMapper:
         mask = np.zeros(n_pad, bool)
         xy_p[:n], X_p[:n], mask[:n] = xy, X, True
 
-        res = pnp_ransac(
-            jnp.asarray(xy_p),
-            jnp.asarray(X_p),
-            jnp.asarray(mask),
-            jnp.asarray(s.K(iid), jnp.float32),
-            self._split_key(),
-            iters=512,
+        # Packed call: one float buffer up, one result vector down (each
+        # extra array is a relay round trip; see pnp_ransac_packed).
+        fbuf = np.concatenate([
+            xy_p.ravel(),
+            X_p.ravel(),
+            np.asarray(s.K(iid), np.float32).ravel(),
+        ])
+        out = np.asarray(pnp_ransac_packed(
+            fbuf, mask, self._split_key(), n=n_pad, iters=512,
             max_error_px=self.cfg.filter_max_reproj_error_px * 2,
-        )
-        n_inl = int(res.num_inliers)
+        ))
+        n_inl = int(out[12])
         if n_inl < max(6, self.cfg.min_num_matches // 2):
             return False
-        R = np.asarray(res.R, np.float64)
-        t = np.asarray(res.t, np.float64)
+        R = out[:9].reshape(3, 3).astype(np.float64)
+        t = out[9:12].astype(np.float64)
         s.poses[iid] = (R, t)
-        inl = np.asarray(res.inlier_mask)[:n]
+        inl = out[13 : 13 + n] > 0.5
         for (f, pid), ok in zip(corrs, inl):
             if ok and pid in s.points:
                 s.add_observation(pid, iid, f)
@@ -728,28 +735,24 @@ class IncrementalMapper:
             refine_dist[:] = False
         else:
             refine_dist &= refine_focal_mask[:, None]
-        problem = BAProblem(
-            cam_params=jnp.asarray(cam),
-            focal_log=jnp.zeros(len(cam_ids_used), jnp.float32),
-            points=jnp.asarray(pts),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_point=jnp.asarray(obs_pt),
-            obs_xy=jnp.asarray(obs_xy),
-            obs_valid=jnp.asarray(obs_valid),
-            K=jnp.asarray(Ks),
-            cam_of_img=jnp.asarray(cam_of_img),
-            fixed_cam_mask=jnp.asarray(fixed),
-            refine_focal_mask=jnp.asarray(refine_focal),
-            dist=jnp.asarray(dist),
-            refine_dist_mask=jnp.asarray(refine_dist),
+        # Packed transfer: THREE H2D buffers + ONE D2H readback instead of a
+        # 13-field problem + 5 outputs — on the remote-relay device each
+        # array is a round trip and the per-registration local BA was the
+        # dominant mapper substep (79.5 s of a 187 s DTU-50 mapper).
+        n_cam_used = len(cam_ids_used)
+        fbuf, ibuf, bbuf = pack_ba_problem(
+            cam, np.zeros(n_cam_used, np.float32), dist, pts,
+            obs_cam, obs_pt, obs_xy, obs_valid, Ks, cam_of_img,
+            fixed, refine_focal, refine_dist,
         )
-        cam_out, focal_out, dist_out, pts_out, msr = bundle_adjust(
-            problem, iters=iters
+        out = bundle_adjust_packed(
+            fbuf, ibuf, bbuf,
+            n_img=n_img, n_cam=n_cam_used, n_pts=n_pts_pad, n_obs=n_obs_pad,
+            iters=iters,
         )
-        cam_out = np.asarray(cam_out, np.float64)
-        focal_out = np.asarray(focal_out, np.float64)
-        dist_out = np.asarray(dist_out, np.float64)
-        pts_out = np.asarray(pts_out, np.float64)
+        cam_out, focal_out, dist_out, pts_out, msr = unpack_ba_result(
+            out, n_img, n_cam_used, n_pts_pad
+        )
         with _cpu_scope():
             for iid2, k in img_index.items():
                 if iid2 not in var_set:

@@ -131,3 +131,33 @@ def pnp_ransac(
     t_out = jnp.where(better, t_f, t[best])
     inl_out = jnp.where(better, inl_f, inl[best])
     return PnPResult(R_out, t_out, inl_out, jnp.sum(inl_out).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n", "iters", "max_error_px"))
+def pnp_ransac_packed(
+    fbuf: jax.Array,  # [xy (n*2) | X (n*3) | K (9)] float32
+    mask: jax.Array,  # (n,) bool
+    key: jax.Array,
+    *,
+    n: int,
+    iters: int = 512,
+    max_error_px: float = 8.0,
+) -> jax.Array:
+    """``pnp_ransac`` over one packed float buffer, one packed result.
+
+    Relay-transfer shape: the mapper registers ~N images with one PnP call
+    each; the unpacked call moves 5 arrays up and 4 down (each a full
+    round trip on the remote-relay device).  Packed: 3 up, 1 down.
+    Returns [R (9) | t (3) | num_inliers (1) | inlier_mask (n)] float32.
+    """
+    xy = fbuf[: n * 2].reshape(n, 2)
+    X = fbuf[n * 2 : n * 5].reshape(n, 3)
+    K = fbuf[n * 5 : n * 5 + 9].reshape(3, 3)
+    res = pnp_ransac(xy, X, mask, K, key, iters=iters,
+                     max_error_px=max_error_px)
+    return jnp.concatenate([
+        res.R.ravel(),
+        res.t,
+        res.num_inliers.astype(jnp.float32)[None],
+        res.inlier_mask.astype(jnp.float32),
+    ])
