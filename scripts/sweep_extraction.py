@@ -30,7 +30,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def measure(backbone, h, w, batch, quantize, reps, max_kp):
+def measure(backbone, h, w, batch, quantize, reps, max_kp, attn="fixedmax"):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,7 @@ def measure(backbone, h, w, batch, quantize, reps, max_kp):
         image_batch=batch,
         transfer_format="yuv420",
         quantize=quantize,
+        attn_impl=attn,
     )
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
@@ -69,25 +70,29 @@ def main() -> None:
     ap.add_argument("--max-keypoints", type=int, default=4096)
     ap.add_argument("--int8", action="store_true",
                     help="also sweep the int8 QKVO/MLP path")
+    ap.add_argument("--attns", default="fixedmax",
+                    help="comma list of attention impls to A/B (fixedmax,xla,flash)")
     args = ap.parse_args()
 
     import jax
 
     rows = []
     for batch in [int(b) for b in args.batches.split(",")]:
+      for attn in args.attns.split(","):
         for quantize in (["none", "int8"] if args.int8 else ["none"]):
             try:
                 ips = measure(
                     args.backbone, args.height, args.width, batch,
                     quantize, max(args.reps // batch, 3), args.max_keypoints,
+                    attn=attn,
                 )
             except Exception as e:
                 print(json.dumps({
-                    "batch": batch, "quantize": quantize,
+                    "batch": batch, "quantize": quantize, "attn": attn,
                     "error": f"{type(e).__name__}: {e}",
                 }))
                 continue
-            row = {"batch": batch, "quantize": quantize,
+            row = {"batch": batch, "quantize": quantize, "attn": attn,
                    "images_per_sec_device": round(ips, 3)}
             rows.append(row)
             print(json.dumps(row), flush=True)
@@ -101,6 +106,7 @@ def main() -> None:
         "unit": "img/s",
         "best_batch": best["batch"],
         "best_quantize": best["quantize"],
+        "best_attn": best.get("attn", "fixedmax"),
         "rows": rows,
         "backbone": args.backbone,
         "resolution": f"{args.height}x{args.width}",

@@ -81,6 +81,7 @@ class ViTExtractor(BaseExtractor):
         # see ops/transfer.py.
         transfer_format: str = "rgb",
         quantize: str = "none",  # "none" | "int8" (QKVO+MLP on int8 MXU)
+        attn_impl: str = "fixedmax",  # "fixedmax" | "flash" | "xla" | "auto"
     ):
         self.backbone_name = backbone
         self.max_keypoints = max_keypoints
@@ -94,10 +95,12 @@ class ViTExtractor(BaseExtractor):
         self.pca_fit_images = pca_fit_images
         self.transfer_format = transfer_format
 
-        # Frozen inference: the fixed-max single-pass attention kernel
-        # (no backward pass needed; 1.3x over generic flash on v5e).
+        # Frozen inference default: the fixed-max single-pass attention
+        # kernel (no backward pass needed; 1.3x over generic flash on v5e).
+        # Overridable for A/B measurement (profile_backbone's ablation put
+        # XLA attention within ~9% in-stack — judge in the REAL program).
         self.model, self.cfg = make_backbone(
-            backbone, dtype=dtype, attn_impl="fixedmax", quantize=quantize
+            backbone, dtype=dtype, attn_impl=attn_impl, quantize=quantize
         )
         key = jax.random.key(seed)
         if weights_path:
