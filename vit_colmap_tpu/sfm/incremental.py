@@ -156,6 +156,10 @@ class IncrementalMapper:
         self.cfg = config
         with _cpu_scope():  # keep the key chain off the relay (see _split_key)
             self._key = jax.random.key(0)
+        # Per-phase wall-clock inside bundle_adjust (see its phase ledger).
+        self.ba_phases = {
+            "asm": 0.0, "dispatch": 0.0, "readback": 0.0, "calls": 0
+        }
 
     def _split_key(self):
         # Split on the host CPU backend: on the relay an eager split is a
@@ -624,6 +628,7 @@ class IncrementalMapper:
         variable_imgs: list[int] | None = None,
         refine_focal: bool | None = None,
     ) -> float:
+        t0 = time.perf_counter()
         s = self.s
         if variable_imgs is None:
             img_ids = sorted(s.poses.keys())
@@ -745,14 +750,27 @@ class IncrementalMapper:
             obs_cam, obs_pt, obs_xy, obs_valid, Ks, cam_of_img,
             fixed, refine_focal, refine_dist,
         )
+        t_asm = time.perf_counter()
         out = bundle_adjust_packed(
             fbuf, ibuf, bbuf,
             n_img=n_img, n_cam=n_cam_used, n_pts=n_pts_pad, n_obs=n_obs_pad,
             iters=iters,
         )
+        t_disp = time.perf_counter()
         cam_out, focal_out, dist_out, pts_out, msr = unpack_ba_result(
             out, n_img, n_cam_used, n_pts_pad
         )
+        t_read = time.perf_counter()
+        # Phase ledger (assembly / async dispatch / execute+readback): the
+        # lba substep is the top mapper cost at DTU scale — this names
+        # where inside the call it goes (readback time = true device
+        # execution on the relay; see docs/PERFORMANCE.md "relay
+        # measurement rules").
+        ph = self.ba_phases
+        ph["asm"] += t_asm - t0
+        ph["dispatch"] += t_disp - t_asm
+        ph["readback"] += t_read - t_disp
+        ph["calls"] += 1
         with _cpu_scope():
             for iid2, k in img_index.items():
                 if iid2 not in var_set:
@@ -1018,6 +1036,13 @@ def incremental_mapping(
         logger.info(
             "Mapper substep seconds: %s",
             {k: round(v, 1) for k, v in t_sub.items()},
+        )
+        logger.info(
+            "BA phase seconds: %s",
+            {
+                k: (round(v, 1) if isinstance(v, float) else v)
+                for k, v in mapper.ba_phases.items()
+            },
         )
         rec = mapper.to_reconstruction()
         if len(rec.images) >= 2 and len(rec.points3D) >= 10:
