@@ -620,6 +620,7 @@ class IncrementalMapper:
             or self.cfg.ba_local_iters,
             variable_imgs=variable,
             refine_focal=False,
+            cg_iters=getattr(self.cfg, "ba_local_cg_iters", None),
         )
 
     def bundle_adjust(
@@ -627,8 +628,11 @@ class IncrementalMapper:
         iters: int = 15,
         variable_imgs: list[int] | None = None,
         refine_focal: bool | None = None,
+        cg_iters: int | None = None,
     ) -> float:
         t0 = time.perf_counter()
+        if cg_iters is None:
+            cg_iters = getattr(self.cfg, "ba_global_cg_iters", 50)
         s = self.s
         if variable_imgs is None:
             img_ids = sorted(s.poses.keys())
@@ -754,7 +758,7 @@ class IncrementalMapper:
         out = bundle_adjust_packed(
             fbuf, ibuf, bbuf,
             n_img=n_img, n_cam=n_cam_used, n_pts=n_pts_pad, n_obs=n_obs_pad,
-            iters=iters,
+            iters=iters, cg_iters=cg_iters,
         )
         t_disp = time.perf_counter()
         cam_out, focal_out, dist_out, pts_out, msr = unpack_ba_result(

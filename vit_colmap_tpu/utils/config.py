@@ -118,6 +118,12 @@ class ReconstructionConfig:
     # few iterations; the global passes polish).  Measured 353 s of the
     # DTU-50 mapper at 25 iters — the dominant mapper substep.
     ba_local_inner_iters: int = 12
+    # CG budget per LM iteration.  Local problems (<=local_ba_num_images
+    # variable cameras) condition far better than the global one; a tight
+    # CG budget cuts the dominant per-registration device time while the
+    # scheduled global/refinement BAs (cg=50) polish to the same optimum.
+    ba_local_cg_iters: int = 20
+    ba_global_cg_iters: int = 50
     ba_refine_focal: bool = True
     # Refine radial distortion (COLMAP BundleAdjustment refine_extra_params):
     # k1 for SIMPLE_RADIAL, k1+k2 for RADIAL, gated like focal on cameras
