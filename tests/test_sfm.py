@@ -387,3 +387,72 @@ def test_bundle_adjust_packed_matches_unpacked():
     np.testing.assert_allclose(focal_o, np.asarray(ref[1]), atol=1e-6)
     np.testing.assert_allclose(pts_o, np.asarray(ref[3]), atol=1e-5)
     assert abs(msr - float(ref[4])) < 1e-6
+
+
+def test_bundle_adjust_schur_matches_cg():
+    """The Schur-complement direct solver (default ``ba_solver`` — one MXU
+    factorization per LM step instead of ~20 sequential CG iterations) must
+    converge to the same optimum as the matrix-free CG path."""
+    X, K, cams = _look_at_scene(n_pts=60, n_cams=4)
+    rng = np.random.default_rng(11)
+    cam = np.zeros((4, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:6] = t
+    pts = (X + 0.05 * rng.standard_normal(X.shape)).astype(np.float32)
+    cam_noisy = cam.copy()
+    cam_noisy[2:, 3:6] += 0.04
+    problem = _make_ba_problem(cams, K, X, cam_noisy, pts)
+
+    out_cg = bundle_adjust(problem, iters=20, cg_iters=50, solver="cg")
+    out_sc = bundle_adjust(problem, iters=20, cg_iters=50, solver="schur")
+    # Both reach (near-)zero residual on noise-free observations and agree
+    # on the recovered geometry.
+    assert float(out_sc[4]) < 0.05, float(out_sc[4])
+    assert float(out_sc[4]) <= float(out_cg[4]) + 0.05
+    np.testing.assert_allclose(
+        np.asarray(out_sc[3]), np.asarray(out_cg[3]), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sc[0]), np.asarray(out_cg[0]), atol=5e-3
+    )
+
+
+def test_bundle_adjust_schur_anchors_padding_distortion():
+    """Schur path under mapper conditions: fixed anchor images, padded
+    observations/points, and k1/k2 refinement enabled."""
+    X, K, cams = _look_at_scene(n_pts=50, n_cams=4)
+    rng = np.random.default_rng(12)
+    cam = np.zeros((4, 6), np.float32)
+    for i, (R, t) in enumerate(cams):
+        cam[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+        cam[i, 3:6] = t
+    pts = (X + 0.03 * rng.standard_normal(X.shape)).astype(np.float32)
+    base = _make_ba_problem(cams, K, X, cam, pts)
+    n_obs = base.obs_cam.shape[0]
+    n_obs_pad, n_pts_pad = n_obs + 37, 64
+    pad = lambda a, n, fill=0: jnp.concatenate(  # noqa: E731
+        [a, jnp.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)]
+    )
+    problem = base._replace(
+        points=pad(base.points, n_pts_pad),
+        obs_cam=pad(base.obs_cam, n_obs_pad),
+        obs_point=pad(base.obs_point, n_obs_pad),
+        obs_xy=pad(base.obs_xy, n_obs_pad),
+        obs_valid=pad(base.obs_valid, n_obs_pad, False),
+        refine_focal_mask=jnp.ones(1, bool),
+        dist=jnp.zeros((1, 2), jnp.float32),
+        refine_dist_mask=jnp.ones((1, 2), bool),
+    )
+    cam_o, focal_o, dist_o, pts_o, msr = bundle_adjust(
+        problem, iters=15, cg_iters=20, solver="schur"
+    )
+    assert float(msr) < 0.05, float(msr)
+    # Anchored (fixed) images bit-identical to their input poses.
+    np.testing.assert_array_equal(
+        np.asarray(cam_o[:2]), np.asarray(problem.cam_params[:2])
+    )
+    # Padded points get a zero update.
+    np.testing.assert_allclose(np.asarray(pts_o[50:]), 0.0, atol=1e-6)
+    # Distortion stays near zero on pinhole ground truth.
+    assert np.abs(np.asarray(dist_o)).max() < 0.02

@@ -200,12 +200,167 @@ def _jtj_diag(
     )
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
+def _obs_jacobians(
+    cam_params, focal_log, dist, points, problem: BAProblem, huber_delta
+):
+    """Per-observation Gauss-Newton rows: J (n_obs, 2, 12) and weighted
+    residual r (n_obs, 2).
+
+    Column layout per row: [cam 6 | focal_log 1 | k1 k2 | point 3].  The
+    Huber IRLS weight is ``stop_gradient``-ed so J = w * dr/dtheta matches
+    the model ``res_fn`` linearizes (same convention as the CG path's
+    vjp-based gradient).
+    """
+
+    def one_obs(cam6, fl, kk, pt3, xy, Kmat, valid):
+        def r(cp):
+            c, f, k12, p = cp[:6], cp[6], cp[7:9], cp[9:]
+            R = axis_angle_to_matrix(c[:3])
+            Xc = R @ p + c[3:6]
+            fs = jnp.exp(f)
+            z = jnp.where(jnp.abs(Xc[2]) > 1e-8, Xc[2], 1e-8)
+            xn = Xc[:2] / z
+            r2 = jnp.sum(xn * xn)
+            xn = xn * (1.0 + k12[0] * r2 + k12[1] * r2 * r2)
+            u = xn[0] * Kmat[0, 0] * fs + Kmat[0, 2]
+            v = xn[1] * Kmat[1, 1] * fs + Kmat[1, 2]
+            res = jnp.stack([u, v]) - xy
+            nrm = jnp.linalg.norm(res)
+            w = jnp.where(
+                nrm > huber_delta,
+                jnp.sqrt(huber_delta / jnp.maximum(nrm, 1e-8)),
+                1.0,
+            )
+            out = res * jax.lax.stop_gradient(w) * valid
+            return out, out
+
+        return jax.jacfwd(r, has_aux=True)(
+            jnp.concatenate([cam6, fl[None], kk, pt3])
+        )  # ((2, 12), (2,))
+
+    obs_camid = problem.cam_of_img[problem.obs_cam]
+    J, r = jax.vmap(one_obs)(
+        cam_params[problem.obs_cam],
+        focal_log[obs_camid],
+        dist[obs_camid],
+        points[problem.obs_point],
+        problem.obs_xy,
+        problem.K[problem.obs_cam],
+        problem.obs_valid.astype(jnp.float32),
+    )
+    return J, r
+
+
+def _inv3x3_sym(A):
+    """Batched closed-form inverse of symmetric (n, 3, 3) matrices."""
+    a, b, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    d, e, f = A[:, 1, 1], A[:, 1, 2], A[:, 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[:, None, None]
+
+
+def _schur_step(x, lam, res_fn_unused, unpack, problem: BAProblem,
+                huber_delta, col_free, free_mask, n_img, n_cam, n_pts):
+    """One damped Gauss-Newton step via point-eliminating Schur complement.
+
+    TPU-native alternative to the matrix-free CG solve: the CG inner loop
+    is ~20 *sequential* while_loop iterations of tiny kernels per LM step —
+    pure latency on the device.  Here points are eliminated with batched
+    closed-form 3x3 inversions, the reduced camera system (M = 6*n_img +
+    3*n_cam, a few hundred dims at mapper scale) is assembled densely with
+    segment-sums and solved with ONE dense factorization on the MXU —
+    an exact Newton step (CG at tol 1e-8 approximates the same solution),
+    in a handful of chunky kernels.  Replaces Ceres' SPARSE_SCHUR
+    (reference consumes it via pycolmap's mapper, run_pipeline.py:381-386).
+    """
+    M = 6 * n_img + 3 * n_cam
+    cam, focal, dist, pts = unpack(x)
+    J, r = _obs_jacobians(cam, focal, dist, pts, problem, huber_delta)
+
+    # Column indices of each observation's 9 camera-side parameters.
+    cam_cols = problem.obs_cam[:, None] * 6 + jnp.arange(6)[None, :]
+    obs_camid = problem.cam_of_img[problem.obs_cam]
+    shared_cols = 6 * n_img + obs_camid[:, None] * 3 + jnp.arange(3)[None, :]
+    idx_c = jnp.concatenate([cam_cols, shared_cols], axis=1)  # (n_obs, 9)
+
+    A = J[:, :, :9] * col_free[idx_c][:, None, :]  # fixed params: zero cols
+    B = J[:, :, 9:12]
+
+    # Block assembly via segment sums (dense reduced system, block-diagonal
+    # point system).
+    AtA = jnp.einsum("odi,odj->oij", A, A)  # (n_obs, 9, 9)
+    AtB = jnp.einsum("odi,ody->oiy", A, B)  # (n_obs, 9, 3)
+    BtB = jnp.einsum("odx,ody->oxy", B, B)  # (n_obs, 3, 3)
+    Atr = jnp.einsum("odi,od->oi", A, r)  # (n_obs, 9)
+    Btr = jnp.einsum("odx,od->ox", B, r)  # (n_obs, 3)
+
+    keys_cc = (idx_c[:, :, None] * M + idx_c[:, None, :]).reshape(-1)
+    Hcc = jax.ops.segment_sum(
+        AtA.reshape(-1), keys_cc, num_segments=M * M
+    ).reshape(M, M)
+    keys_w = (problem.obs_point[:, None] * M + idx_c).reshape(-1)
+    W = jax.ops.segment_sum(
+        AtB.reshape(-1, 3), keys_w, num_segments=n_pts * M
+    ).reshape(n_pts, M, 3)
+    Hpp = jax.ops.segment_sum(BtB, problem.obs_point, num_segments=n_pts)
+    g_c = jax.ops.segment_sum(
+        Atr.reshape(-1), idx_c.reshape(-1), num_segments=M
+    )
+    g_p = jax.ops.segment_sum(Btr, problem.obs_point, num_segments=n_pts)
+
+    # Marquardt damping (lam * diag, as in the CG path's matvec) + a floor
+    # so padded points / empty blocks stay invertible.
+    eye3 = jnp.eye(3)
+    Hpp_d = (
+        Hpp
+        + lam * eye3 * Hpp[:, jnp.arange(3), jnp.arange(3)][:, None, :]
+        + 1e-8 * eye3
+    )
+    Hpp_inv = _inv3x3_sym(Hpp_d)
+    dcc = jnp.diag(Hcc)
+    Hcc_d = Hcc + jnp.diag(lam * dcc)
+
+    T = jnp.einsum("pmx,pxy->pmy", W, Hpp_inv)  # (n_pts, M, 3)
+    S = Hcc_d - jnp.einsum("pmy,pny->mn", T, W)
+    rhs = -g_c + jnp.einsum("pmy,py->m", T, g_p)
+    # Fixed / padded camera columns: identity rows so the solve stays
+    # non-singular and their update is exactly zero.
+    S = S * (col_free[:, None] * col_free[None, :]) + jnp.diag(
+        1.0 - col_free
+    )
+    rhs = rhs * col_free
+    dc = jnp.linalg.solve(S, rhs)
+    dp = -jnp.einsum(
+        "pxy,py->px", Hpp_inv, g_p + jnp.einsum("pmx,m->px", W, dc)
+    )
+
+    cam_d = dc[: 6 * n_img].reshape(n_img, 6)
+    shared_d = dc[6 * n_img :].reshape(n_cam, 3)
+    dx = jnp.concatenate(
+        [cam_d.ravel(), shared_d[:, 0], shared_d[:, 1:3].ravel(), dp.ravel()]
+    )
+    return dx * free_mask
+
+
+@partial(
+    jax.jit, static_argnames=("iters", "cg_iters", "huber_delta", "solver")
+)
 def bundle_adjust(
     problem: BAProblem,
     iters: int = 20,
     cg_iters: int = 50,
     huber_delta: float = 3.0,
+    solver: str = "cg",
 ):
     """Run LM; returns (cam_params, focal_log, dist, points, mean sq
     residual)."""
@@ -251,27 +406,50 @@ def bundle_adjust(
         r = res_fn(x)
         return 0.5 * jnp.dot(r, r)
 
+    # (M,) free/fixed vector over the reduced (camera-side) parameters for
+    # the Schur path: [cam 6*n_img | (focal, k1, k2) per camera].
+    col_free = jnp.concatenate(
+        [
+            cam_free.ravel(),
+            jnp.stack(
+                [
+                    problem.refine_focal_mask.astype(jnp.float32),
+                    problem.refine_dist_mask[:, 0].astype(jnp.float32),
+                    problem.refine_dist_mask[:, 1].astype(jnp.float32),
+                ],
+                axis=-1,
+            ).ravel(),
+        ]
+    )
+
     def lm_step(carry):
         x, lam, it, _ = carry
-        r = res_fn(x)
-        cam, focal, dist, pts = unpack(x)
-        diag = _jtj_diag(cam, focal, dist, pts, problem, huber_delta)
-        diag = jnp.maximum(diag, 1e-6)
-        # g = Jᵀ r via vjp; JᵀJ v via jvp + vjp; Marquardt damping lam*diag.
-        _, vjp = jax.vjp(res_fn, x)
-        g = vjp(r)[0] * free_mask
+        if solver == "schur":
+            dx = _schur_step(
+                x, lam, res_fn, unpack, problem, huber_delta,
+                col_free, free_mask, n_img, n_cam, n_pts,
+            )
+        else:
+            r = res_fn(x)
+            cam, focal, dist, pts = unpack(x)
+            diag = _jtj_diag(cam, focal, dist, pts, problem, huber_delta)
+            diag = jnp.maximum(diag, 1e-6)
+            # g = Jᵀ r via vjp; JᵀJ v via jvp + vjp; damping lam*diag.
+            _, vjp = jax.vjp(res_fn, x)
+            g = vjp(r)[0] * free_mask
 
-        def matvec(v):
-            v = v * free_mask
-            jv = jax.jvp(res_fn, (x,), (v,))[1]
-            return vjp(jv)[0] * free_mask + lam * diag * v
+            def matvec(v):
+                v = v * free_mask
+                jv = jax.jvp(res_fn, (x,), (v,))[1]
+                return vjp(jv)[0] * free_mask + lam * diag * v
 
-        precond = 1.0 / (diag * (1.0 + lam))
+            precond = 1.0 / (diag * (1.0 + lam))
 
-        dx, _ = jax.scipy.sparse.linalg.cg(
-            matvec, -g, M=lambda v: precond * v, maxiter=cg_iters, tol=1e-8
-        )
-        dx = dx * free_mask
+            dx, _ = jax.scipy.sparse.linalg.cg(
+                matvec, -g, M=lambda v: precond * v, maxiter=cg_iters,
+                tol=1e-8,
+            )
+            dx = dx * free_mask
         # Backtracking over a few step scales — all candidate costs evaluate
         # in one fused program; argmin picks the best (no host sync).
         scales = jnp.array([1.0, 0.5, 0.25, 0.1, 0.03], jnp.float32)
@@ -356,7 +534,7 @@ def pack_ba_problem(cam, focal_log, dist, pts, obs_cam, obs_pt, obs_xy,
     jax.jit,
     static_argnames=(
         "n_img", "n_cam", "n_pts", "n_obs", "iters", "cg_iters",
-        "huber_delta",
+        "huber_delta", "solver",
     ),
 )
 def bundle_adjust_packed(
@@ -371,6 +549,7 @@ def bundle_adjust_packed(
     iters: int = 20,
     cg_iters: int = 50,
     huber_delta: float = 3.0,
+    solver: str = "cg",
 ) -> jax.Array:
     """``bundle_adjust`` over packed buffers; returns one packed vector
     [cam (n_img*6) | focal (n_cam) | dist (n_cam*2) | pts (n_pts*3) | msr]."""
@@ -414,7 +593,8 @@ def bundle_adjust_packed(
         refine_dist_mask=refine_dist,
     )
     cam_o, focal_o, dist_o, pts_o, msr = bundle_adjust(
-        problem, iters=iters, cg_iters=cg_iters, huber_delta=huber_delta
+        problem, iters=iters, cg_iters=cg_iters, huber_delta=huber_delta,
+        solver=solver,
     )
     return jnp.concatenate([
         cam_o.ravel(), focal_o, dist_o.ravel(), pts_o.ravel(), msr[None]

@@ -759,6 +759,7 @@ class IncrementalMapper:
             fbuf, ibuf, bbuf,
             n_img=n_img, n_cam=n_cam_used, n_pts=n_pts_pad, n_obs=n_obs_pad,
             iters=iters, cg_iters=cg_iters,
+            solver=getattr(self.cfg, "ba_solver", "cg"),
         )
         t_disp = time.perf_counter()
         cam_out, focal_out, dist_out, pts_out, msr = unpack_ba_result(

@@ -124,6 +124,12 @@ class ReconstructionConfig:
     # scheduled global/refinement BAs (cg=50) polish to the same optimum.
     ba_local_cg_iters: int = 20
     ba_global_cg_iters: int = 50
+    # LM linear solver: "schur" eliminates points with batched 3x3
+    # inversions and solves the dense reduced camera system in ONE MXU
+    # factorization per LM step (Ceres SPARSE_SCHUR equivalent); "cg" is
+    # the matrix-free Jacobi-preconditioned CG fallback (~20 sequential
+    # tiny-kernel iterations per LM step — latency-bound on device).
+    ba_solver: str = "schur"
     ba_refine_focal: bool = True
     # Refine radial distortion (COLMAP BundleAdjustment refine_extra_params):
     # k1 for SIMPLE_RADIAL, k1+k2 for RADIAL, gated like focal on cameras
