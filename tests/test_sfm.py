@@ -456,3 +456,42 @@ def test_bundle_adjust_schur_anchors_padding_distortion():
     np.testing.assert_allclose(np.asarray(pts_o[50:]), 0.0, atol=1e-6)
     # Distortion stays near zero on pinhole ground truth.
     assert np.abs(np.asarray(dist_o)).max() < 0.02
+
+
+def test_incremental_mapping_legacy_buckets(tmp_path):
+    """The fine-bucket / per-phase-LM-budget configuration (pre program-count
+    consolidation: ``ba_coarse_buckets=False``, ``ba_unified_iters=0``) still
+    reconstructs to the same quality bar as the coarse default — padding and
+    LM-budget choices are performance knobs, not semantics."""
+    X, K, cams = _look_at_scene(n_pts=150, n_cams=5, seed=3)
+    rng = np.random.default_rng(4)
+    db = ColmapDatabase(tmp_path / "db.db")
+    cid = db.add_pinhole_camera(640, 480, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    ids = []
+    for i, (R, t) in enumerate(cams):
+        uv, _ = _project(R, t, K, X)
+        uv = uv + 0.3 * rng.standard_normal(uv.shape)
+        iid = db.add_image(f"cam{i}.png", cid)
+        db.add_keypoints(iid, uv.astype(np.float32))
+        db.add_descriptors(
+            iid, rng.integers(0, 255, (len(uv), 128), dtype=np.uint8)
+        )
+        ids.append(iid)
+    m = np.stack([np.arange(len(X))] * 2, axis=1).astype(np.uint32)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            db.add_matches(ids[a], ids[b], m)
+            db.add_two_view_geometry(ids[a], ids[b], m, config=2)
+    db.commit()
+    db.close()
+
+    cfg = ReconstructionConfig(
+        min_num_matches=15, ba_coarse_buckets=False, ba_unified_iters=0
+    )
+    recs = incremental_mapping(
+        tmp_path / "db.db", tmp_path, tmp_path / "sparse", cfg
+    )
+    assert len(recs) == 1
+    rec = recs[0]
+    assert len(rec.images) == 5
+    assert rec.mean_reprojection_error() < 1.5

@@ -56,6 +56,19 @@ def _next_pow2(n: int, minimum: int = 64) -> int:
     return m
 
 
+def _next_powk(n: int, minimum: int, k: int) -> int:
+    """Round ``n`` up to ``minimum * k**j``.  Coarser buckets (k=4) than
+    pow2 quantization: every distinct padded shape is its own XLA program,
+    and on a remote-relay device each program pays a per-process
+    executable-upload tax on first dispatch (results/EXTRACT_TAX_r3.json)
+    on top of its compile — fewer, larger buckets trade trivially cheap
+    padding FLOPs for far fewer programs."""
+    m = minimum
+    while m < n:
+        m *= k
+    return m
+
+
 def _cpu_scope():
     """Context placing eager jnp ops on the host CPU backend.
 
@@ -313,7 +326,13 @@ class IncrementalMapper:
         xy = s.keypoints[iid][[f for f, _ in corrs]].astype(np.float32)
         X = np.stack([s.points[p] for _, p in corrs]).astype(np.float32)
         n = len(corrs)
-        n_pad = _next_pow2(n)
+        # Coarse (pow4) bucket: typical DTU registrations (200-400 corrs)
+        # all land in ONE PnP program instead of one per pow2 size.
+        n_pad = (
+            _next_powk(n, 256, 4)
+            if getattr(self.cfg, "ba_coarse_buckets", True)
+            else _next_pow2(n)
+        )
         xy_p = np.zeros((n_pad, 2), np.float32)
         X_p = np.zeros((n_pad, 3), np.float32)
         mask = np.zeros(n_pad, bool)
@@ -633,6 +652,20 @@ class IncrementalMapper:
         t0 = time.perf_counter()
         if cg_iters is None:
             cg_iters = getattr(self.cfg, "ba_global_cg_iters", 50)
+        solver = getattr(self.cfg, "ba_solver", "cg")
+        # One LM budget for every BA call: the per-phase budgets (local 12 /
+        # growth 25 / refine 50) predate the LM convergence early-exit in
+        # bundle_adjust's while_loop — with the early exit, a single static
+        # max costs nothing extra at runtime and collapses three program
+        # signatures into one.
+        unified = getattr(self.cfg, "ba_unified_iters", 0)
+        if unified:
+            iters = unified
+        if solver == "schur":
+            # cg_iters is dead under the Schur solver but is a static jit
+            # arg — normalize it so local (20) vs global (50) budgets don't
+            # split the compile cache.
+            cg_iters = 0
         s = self.s
         if variable_imgs is None:
             img_ids = sorted(s.poses.keys())
@@ -659,10 +692,17 @@ class IncrementalMapper:
         img_index = {iid: k for k, iid in enumerate(img_ids)}
         pt_index = {pid: k for k, pid in enumerate(pt_ids)}
 
-        # Pad the camera block too so BA programs compile per pow2 bucket
+        # Pad the camera block too so BA programs compile per bucket
         # (n_img used to be exact -> one recompile per registration).
-        n_img = _next_pow2(len(img_ids), 4)
-        n_pts_pad = _next_pow2(len(pt_ids))
+        # Coarse (pow4) buckets: a DTU-50 run's local+global BA calls fit in
+        # ~4 programs instead of ~15 (see _next_powk).
+        coarse = getattr(self.cfg, "ba_coarse_buckets", True)
+        if coarse:
+            n_img = _next_powk(len(img_ids), 8, 4)
+            n_pts_pad = _next_powk(len(pt_ids), 256, 4)
+        else:
+            n_img = _next_pow2(len(img_ids), 4)
+            n_pts_pad = _next_pow2(len(pt_ids))
         # RAW (distorted) observations: BA models radial distortion in the
         # projection (COLMAP/Ceres convention) instead of consuming the
         # fixed-point-undistorted coords the rest of the mapper uses.
@@ -677,7 +717,11 @@ class IncrementalMapper:
                             s.keypoints_raw[iid2][f],
                         )
                     )
-        n_obs_pad = _next_pow2(len(obs), 256)
+        n_obs_pad = (
+            _next_powk(len(obs), 1024, 4)
+            if coarse
+            else _next_pow2(len(obs), 256)
+        )
 
         cam = np.zeros((n_img, 6), np.float32)  # axis-angle + t
         Ks = np.tile(np.eye(3, dtype=np.float32), (n_img, 1, 1))
@@ -758,8 +802,7 @@ class IncrementalMapper:
         out = bundle_adjust_packed(
             fbuf, ibuf, bbuf,
             n_img=n_img, n_cam=n_cam_used, n_pts=n_pts_pad, n_obs=n_obs_pad,
-            iters=iters, cg_iters=cg_iters,
-            solver=getattr(self.cfg, "ba_solver", "cg"),
+            iters=iters, cg_iters=cg_iters, solver=solver,
         )
         t_disp = time.perf_counter()
         cam_out, focal_out, dist_out, pts_out, msr = unpack_ba_result(
@@ -776,6 +819,12 @@ class IncrementalMapper:
         ph["dispatch"] += t_disp - t_asm
         ph["readback"] += t_read - t_disp
         ph["calls"] += 1
+        # Program-signature ledger: each distinct tuple is one compiled XLA
+        # program (and one per-process relay upload).
+        sig = (n_img, n_cam_used, n_pts_pad, n_obs_pad, iters, cg_iters)
+        ph.setdefault("programs", {})[sig] = (
+            ph.get("programs", {}).get(sig, 0) + 1
+        )
         with _cpu_scope():
             for iid2, k in img_index.items():
                 if iid2 not in var_set:
@@ -1047,7 +1096,15 @@ def incremental_mapping(
             {
                 k: (round(v, 1) if isinstance(v, float) else v)
                 for k, v in mapper.ba_phases.items()
+                if k != "programs"
             },
+        )
+        progs = mapper.ba_phases.get("programs", {})
+        logger.info(
+            "BA programs: %d distinct (n_img, n_cam, n_pts, n_obs, iters, "
+            "cg) signatures over %d calls: %s",
+            len(progs), sum(progs.values()),
+            {str(k): v for k, v in sorted(progs.items())},
         )
         rec = mapper.to_reconstruction()
         if len(rec.images) >= 2 and len(rec.points3D) >= 10:

@@ -130,6 +130,16 @@ class ReconstructionConfig:
     # the matrix-free Jacobi-preconditioned CG fallback (~20 sequential
     # tiny-kernel iterations per LM step — latency-bound on device).
     ba_solver: str = "schur"
+    # Program-count consolidation (remote-relay devices pay a per-process
+    # executable-upload tax per DISTINCT program, results/EXTRACT_TAX_r3;
+    # real TPUs pay a compile per distinct program):
+    #   ba_coarse_buckets — pad BA/PnP problems to pow4 buckets instead of
+    #     pow2 (padding FLOPs are trivial; program count drops ~4x).
+    #   ba_unified_iters — one static LM budget for local/growth/refine BA
+    #     calls (>0 overrides the per-phase budgets); the LM while_loop's
+    #     function-tolerance early exit keeps the runtime cost equal.
+    ba_coarse_buckets: bool = True
+    ba_unified_iters: int = 50
     ba_refine_focal: bool = True
     # Refine radial distortion (COLMAP BundleAdjustment refine_extra_params):
     # k1 for SIMPLE_RADIAL, k1+k2 for RADIAL, gated like focal on cameras
