@@ -155,6 +155,59 @@ def test_ransac_degenerate_few_points():
     assert int(res.config) == TWO_VIEW_CONFIG["DEGENERATE"]
 
 
+def test_two_view_packed_matches_unpacked():
+    """estimate_two_view_batched_packed (flat valid-only transfer + on-device
+    scatter — the form the pipeline dispatches) must be bit-identical to the
+    padded-buffer batched call, including padding lanes."""
+    from vit_colmap_tpu.ops.ransac import (
+        estimate_two_view_batched,
+        estimate_two_view_batched_packed,
+    )
+
+    n_pairs, k_max = 4, 128
+    pts1 = np.zeros((n_pairs, k_max, 2), np.float32)
+    pts2 = np.zeros((n_pairs, k_max, 2), np.float32)
+    mask = np.zeros((n_pairs, k_max), bool)
+    Ks = np.zeros((n_pairs, 3, 3), np.float32)
+    counts = [100, 73, 120, 0]  # lane 3 is all padding
+    for b, n in enumerate(counts):
+        x1, x2, K, *_ = make_two_view(max(n, 8), noise=0.2, seed=10 + b)
+        pts1[b, :n], pts2[b, :n], mask[b, :n] = x1[:n], x2[:n], True
+        Ks[b] = K
+    calibrated = np.array([True, True, False, False])
+    keys = jax.random.split(jax.random.key(7), n_pairs)
+
+    flat1, flat2, dest = [], [], []
+    for b in range(n_pairs):
+        n = counts[b]
+        flat1.append(pts1[b, :n])
+        flat2.append(pts2[b, :n])
+        dest.append(b * k_max + np.arange(n, dtype=np.int32))
+    l_bucket = 512
+    tot = sum(counts)
+    f1 = np.zeros((l_bucket, 2), np.float32)
+    f2 = np.zeros((l_bucket, 2), np.float32)
+    dst = np.full(l_bucket, n_pairs * k_max, np.int32)  # dropped
+    f1[:tot] = np.concatenate(flat1)
+    f2[:tot] = np.concatenate(flat2)
+    dst[:tot] = np.concatenate(dest)
+
+    kw = dict(iters=256, max_error_px=4.0)
+    ref = estimate_two_view_batched(
+        pts1, pts2, mask, Ks, Ks, calibrated, keys, **kw
+    )
+    got = estimate_two_view_batched_packed(
+        f1, f2, dst, Ks, Ks, calibrated, keys,
+        n_pairs=n_pairs, k_max=k_max, **kw,
+    )
+    for name in ("config", "num_inliers", "inlier_mask", "F", "E", "qvec"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            err_msg=name,
+        )
+
+
 def test_undistort_points_roundtrip():
     """Distort synthetically, undistort, recover original points."""
     rng = np.random.default_rng(11)

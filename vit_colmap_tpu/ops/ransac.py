@@ -402,6 +402,65 @@ def estimate_two_view_batched(
     return jax.vmap(fn)(pts1, pts2, mask, K1, K2, calibrated, keys)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_pairs",
+        "k_max",
+        "iters",
+        "max_error_px",
+        "min_num_inliers",
+        "max_h_ratio",
+        "confidence",
+        "five_point",
+        "h_iters",
+        "five_point_chunk",
+    ),
+)
+def estimate_two_view_batched_packed(
+    flat1, flat2, dest, K1, K2, calibrated, keys, *, n_pairs, k_max, **kwargs
+) -> TwoViewResult:
+    """Packed-transfer form of :func:`estimate_two_view_batched`.
+
+    The batched verifier's natural inputs are (P, k_max, 2) correspondence
+    buffers padded to the scene's largest pair — at DTU-50 shapes
+    (64, 1024) with ~200 valid matches/pair, ~80% of the H2D bytes are
+    padding, and the wire is the pipeline's binding constraint (the device
+    holds 14 img/s while wire-inclusive throughput swings 2x with relay
+    epochs).  Here the host sends ONLY the valid correspondences as flat
+    ``(L, 2)`` buffers plus a flat destination index, and the scatter into
+    the padded (P, k_max) layout happens on device inside the same XLA
+    program (one fused pass; padding rows never cross the wire).
+
+    ``dest[i] = lane * k_max + position``; entries padding the flat buffer
+    use ``dest >= n_pairs * k_max`` and are dropped by the scatter.  The
+    correspondence mask is derived from the same scatter, so results are
+    bit-identical to the unpacked call (equality pinned in
+    tests/test_matching.py).
+    """
+    shape = (n_pairs * k_max, 2)
+    pts1 = (
+        jnp.zeros(shape, flat1.dtype)
+        .at[dest]
+        .set(flat1, mode="drop")
+        .reshape(n_pairs, k_max, 2)
+    )
+    pts2 = (
+        jnp.zeros(shape, flat2.dtype)
+        .at[dest]
+        .set(flat2, mode="drop")
+        .reshape(n_pairs, k_max, 2)
+    )
+    mask = (
+        jnp.zeros((n_pairs * k_max,), bool)
+        .at[dest]
+        .set(True, mode="drop")
+        .reshape(n_pairs, k_max)
+    )
+    fn = partial(estimate_two_view, **kwargs)
+    return jax.vmap(fn)(pts1, pts2, mask, K1, K2, calibrated, keys)
+
+
 def prewarm_two_view_program(
     pair_batch: int, k_max, **kwargs
 ) -> "threading.Thread":
@@ -432,11 +491,37 @@ def prewarm_two_view_program(
 
     import numpy as np
 
-    buckets = sorted({k_max} if isinstance(k_max, int) else set(k_max))
+    buckets = sorted({k_max} if isinstance(k_max, (int, tuple)) else set(k_max))
 
     def _build():
         for k in buckets:
             try:
+                if isinstance(k, tuple):
+                    # (k_max, flat_L) bucket -> packed-transfer program
+                    # (the form the pipeline actually dispatches).
+                    k_b, l_b = k
+                    args = (
+                        jnp.zeros((l_b, 2), jnp.float32),
+                        jnp.zeros((l_b, 2), jnp.float32),
+                        # All-padding scatter: out-of-range dests drop.
+                        jnp.full(
+                            (l_b,), pair_batch * k_b, jnp.int32
+                        ),
+                        jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                        jnp.zeros((pair_batch, 3, 3), jnp.float32),
+                        jnp.zeros(pair_batch, bool),
+                        jax.random.split(jax.random.key(0), pair_batch),
+                    )
+                    kw = dict(kwargs, n_pairs=pair_batch, k_max=k_b)
+                    estimate_two_view_batched_packed.lower(
+                        *args, **kw
+                    ).compile()
+                    np.asarray(
+                        estimate_two_view_batched_packed(
+                            *args, **kw
+                        ).num_inliers
+                    )
+                    continue
                 args = (
                     jnp.zeros((pair_batch, k, 2), jnp.float32),
                     jnp.zeros((pair_batch, k, 2), jnp.float32),

@@ -37,7 +37,7 @@ from vit_colmap_tpu.ops.matching import (
     resolve_use_pallas,
     unpack_matches,
 )
-from vit_colmap_tpu.ops.ransac import estimate_two_view_batched
+from vit_colmap_tpu.ops.ransac import estimate_two_view_batched_packed
 from vit_colmap_tpu.utils.config import MatchingConfig
 
 logger = logging.getLogger(__name__)
@@ -431,7 +431,27 @@ def match_exhaustive(
                 # more than padding a small scene's correspondences to 512.
                 k_max = max(k_max, 512)
             VB = getattr(config, "verify_pair_batch", None) or config.pair_batch
-            key = jax.random.key(seed)
+            starts = list(range(0, len(verif_pairs), VB))
+            # Derive every batch's PRNG keys on the host CPU backend in one
+            # pass: eager fold_in/split on the relay device is a ~26 ms
+            # dispatch round trip per op, paid twice per batch.
+            with jax.default_device(jax.devices("cpu")[0]):
+                key = jax.random.key(seed)
+                batch_keys = [
+                    jax.random.split(jax.random.fold_in(key, s), VB)
+                    for s in starts
+                ]
+            # Packed-transfer flat bucket: ONLY valid correspondences cross
+            # the wire (~80% of the padded (VB, k_max) buffers is padding at
+            # DTU scale); one pow4 bucket over the largest batch keeps every
+            # batch in a single program (see estimate_two_view_batched_packed).
+            batch_tot = [
+                sum(len(all_matches[p]) for p in verif_pairs[s : s + VB])
+                for s in starts
+            ]
+            l_bucket = 4096
+            while l_bucket < max(batch_tot):
+                l_bucket *= 4
             # Software pipeline: dispatch every batch asynchronously first
             # (host assembly of batch k+1 and the DB writes overlap batch
             # k's device compute — the serial assemble->dispatch->readback
@@ -439,20 +459,25 @@ def match_exhaustive(
             # then read back in order.
             pending = []
             t_dispatch0 = time.perf_counter()
-            for start in range(0, len(verif_pairs), VB):
+            for bi, start in enumerate(starts):
                 chunk = verif_pairs[start : start + VB]
                 bsz = len(chunk)
-                pts1 = np.zeros((VB, k_max, 2), np.float32)
-                pts2 = np.zeros((VB, k_max, 2), np.float32)
-                mask = np.zeros((VB, k_max), bool)
+                flat1 = np.zeros((l_bucket, 2), np.float32)
+                flat2 = np.zeros((l_bucket, 2), np.float32)
+                # Flat-buffer padding scatters out of range -> dropped.
+                dest = np.full(l_bucket, VB * k_max, np.int32)
                 K1 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
                 K2 = np.tile(np.eye(3, dtype=np.float32), (VB, 1, 1))
                 calibrated = np.zeros(VB, bool)
+                off = 0
                 for b, (i, j) in enumerate(chunk):
                     m = all_matches[(i, j)]
-                    pts1[b, : len(m)] = kpts_list[i][m[:, 0]]
-                    pts2[b, : len(m)] = kpts_list[j][m[:, 1]]
-                    mask[b, : len(m)] = True
+                    flat1[off : off + len(m)] = kpts_list[i][m[:, 0]]
+                    flat2[off : off + len(m)] = kpts_list[j][m[:, 1]]
+                    dest[off : off + len(m)] = b * k_max + np.arange(
+                        len(m), dtype=np.int32
+                    )
+                    off += len(m)
                     cam1 = cameras[images[image_ids[i]]["camera_id"]]
                     cam2 = cameras[images[image_ids[j]]["camera_id"]]
                     K1[b] = camera_matrix(cam1)
@@ -464,15 +489,16 @@ def match_exhaustive(
                     calibrated[b] = bool(cam1["prior_focal_length"]) and bool(
                         cam2["prior_focal_length"]
                     )
-                keys = jax.random.split(jax.random.fold_in(key, start), VB)
-                res = estimate_two_view_batched(
-                    jnp.asarray(pts1),
-                    jnp.asarray(pts2),
-                    jnp.asarray(mask),
+                res = estimate_two_view_batched_packed(
+                    jnp.asarray(flat1),
+                    jnp.asarray(flat2),
+                    jnp.asarray(dest),
                     jnp.asarray(K1),
                     jnp.asarray(K2),
                     jnp.asarray(calibrated),
-                    keys,
+                    batch_keys[bi],
+                    n_pairs=VB,
+                    k_max=k_max,
                     iters=config.ransac_iters,
                     max_error_px=config.ransac_max_error_px,
                     min_num_inliers=config.min_num_inliers,

@@ -164,9 +164,16 @@ class Pipeline:
             # the 76-105 s relay executable-upload tax inside the
             # verification stage (results/VERIFY_VB_AB_r3.json).
             k_hi = 1 << max(int(self.config.extractor.max_keypoints) - 1, 127).bit_length()
+            # (k_max, flat_L) buckets for the packed-transfer program
+            # (match.py sends only valid correspondences; L = pow4 bucket
+            # of the largest batch's total matches — 16384 covers batches
+            # of 64 pairs up to 256 avg matches, the observed DTU regime).
             prewarm_two_view_program(
                 getattr(mc, "verify_pair_batch", None) or mc.pair_batch,
-                {min(k_hi, 1024), min(max(k_hi // 2, 128), 512)},
+                {
+                    (min(k_hi, 1024), 16384),
+                    (min(max(k_hi // 2, 128), 512), 16384),
+                },
                 iters=mc.ransac_iters,
                 max_error_px=mc.ransac_max_error_px,
                 min_num_inliers=mc.min_num_inliers,
