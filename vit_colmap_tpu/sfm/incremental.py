@@ -200,23 +200,30 @@ class IncrementalMapper:
                 return True
         return False
 
-    def _bootstrap_candidates(self, x1, x2, k1, k2):
+    def _bootstrap_candidates(self, x1, x2, k1, k2, valid):
         """Candidate relative poses for an init pair: the essential-matrix
         pose plus homography decompositions (planar/low-parallax scenes
-        make E degenerate — COLMAP falls back to H there too)."""
+        make E degenerate — COLMAP falls back to H there too).
+
+        ``x1``/``x2`` are padded to a shape bucket with ``valid`` marking
+        real rows: the fits run with zero weights on padding, so every
+        candidate pair shares one compiled program per bucket instead of
+        compiling per exact match count (measured ~30 s of host-CPU compile
+        inside initialize() at DTU-50)."""
         x1n = (x1 - k1[:2, 2]) / np.diag(k1)[:2]
         x2n = (x2 - k2[:2, 2]) / np.diag(k2)[:2]
+        w = valid.astype(np.float32)
         cands = []
         # Essential bootstrap.
         E = np.asarray(
             geom.fit_essential(
-                jnp.asarray(x1n)[None], jnp.asarray(x2n)[None]
+                jnp.asarray(x1n)[None], jnp.asarray(x2n)[None],
+                weights=jnp.asarray(w)[None],
             )[0]
         )
-        mask = np.ones(len(x1), bool)
         R, t = geom.recover_pose_from_E(
             jnp.asarray(E)[None], jnp.asarray(x1n)[None],
-            jnp.asarray(x2n)[None], jnp.asarray(mask)[None],
+            jnp.asarray(x2n)[None], jnp.asarray(valid)[None],
         )
         cands.append((np.asarray(R[0], np.float64), np.asarray(t[0], np.float64)))
         # Homography bootstrap (cv2 decomposition; host one-shot).
@@ -225,7 +232,8 @@ class IncrementalMapper:
 
             H = np.asarray(
                 geom.fit_homography(
-                    jnp.asarray(x1)[None], jnp.asarray(x2)[None]
+                    jnp.asarray(x1)[None], jnp.asarray(x2)[None],
+                    weights=jnp.asarray(w)[None],
                 )[0],
                 np.float64,
             )
@@ -242,13 +250,21 @@ class IncrementalMapper:
     def _try_init_pair(self, i1, i2, m) -> bool:
         s = self.s
         k1, k2 = s.K(i1), s.K(i2)
-        x1 = s.keypoints[i1][m[:, 0]].astype(np.float64)
-        x2 = s.keypoints[i2][m[:, 1]].astype(np.float64)
+        n = len(m)
+        # Shape bucket (see _bootstrap_candidates): every candidate pair
+        # reuses the same compiled fit/triangulate programs per bucket.
+        n_pad = _next_pow2(n, 128)
+        x1 = np.zeros((n_pad, 2), np.float64)
+        x2 = np.zeros((n_pad, 2), np.float64)
+        x1[:n] = s.keypoints[i1][m[:, 0]]
+        x2[:n] = s.keypoints[i2][m[:, 1]]
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = True
         thr = self.cfg.filter_max_reproj_error_px
 
         best = None  # (n_good, good mask, R, t, X)
         P1 = k1 @ np.eye(3, 4)
-        for R, t in self._bootstrap_candidates(x1, x2, k1, k2):
+        for R, t in self._bootstrap_candidates(x1, x2, k1, k2, valid):
             P2 = k2 @ np.concatenate([R, t[:, None]], axis=1)
             X = np.asarray(
                 geom.triangulate(
@@ -257,12 +273,14 @@ class IncrementalMapper:
                 )[0],
                 np.float64,
             )
-            angles = _triangulation_angles(X, np.zeros(3), -R.T @ t)
-            e1 = _reproj_errors(np.eye(3), np.zeros(3), k1, X, x1)
-            e2 = _reproj_errors(R, t, k2, X, x2)
+            with np.errstate(all="ignore"):  # padded rows: garbage in, masked out
+                angles = _triangulation_angles(X, np.zeros(3), -R.T @ t)
+                e1 = _reproj_errors(np.eye(3), np.zeros(3), k1, X, x1)
+                e2 = _reproj_errors(R, t, k2, X, x2)
             good = (
-                (angles > self.cfg.min_triangulation_angle_deg)
-                & (e1 < thr)
+                valid
+                & (angles > self.cfg.min_triangulation_angle_deg)
+                & (e1 < thr)  # NaN on padded rows compares False
                 & (e2 < thr)
             )
             if best is None or good.sum() > best[0]:
