@@ -45,6 +45,26 @@ def test_extract_sift_full():
     assert (kp[:, 0] >= 0).all() and (kp[:, 0] < 128).all()
 
 
+def test_extract_sift_uint8_wire_equals_float():
+    """uint8 input (the 4x-cheaper wire format the extractor sends; [0,1]
+    normalization happens inside the fused program) must reproduce the
+    float32 path exactly."""
+    img = _blob_image()
+    u8 = (img * 255.0).round().astype(np.uint8)
+    kp_f, dc_f = extract_sift(
+        u8.astype(np.float32)[None] / 255.0, max_keypoints=128
+    )
+    kp_u, dc_u = extract_sift(u8[None], max_keypoints=128)
+    # Not bit-exact: XLA lowers the on-device /255 as multiply-by-
+    # reciprocal, so values differ in the last ulp.  Same detections,
+    # sub-milli-pixel positions, descriptors within one quantization step.
+    assert len(kp_u[0]) == len(kp_f[0])
+    np.testing.assert_allclose(kp_u[0], kp_f[0], atol=1e-3)
+    assert (
+        np.abs(dc_u[0].astype(int) - dc_f[0].astype(int)) <= 1
+    ).mean() > 0.999
+
+
 def test_sift_descriptors_match_under_translation():
     """Descriptors of the same content at shifted positions must match."""
     from vit_colmap_tpu.ops.matching import (

@@ -569,6 +569,11 @@ def _sift_program_body(
     per_oct: int,
 ):
     B = gray.shape[0]
+    # uint8 wire format: callers send raw 8-bit gray (4x fewer H2D bytes —
+    # the wire, not the device, bounds extraction on the relay) and the
+    # [0, 1] normalization happens here inside the fused program.
+    if gray.dtype == jnp.uint8:
+        gray = gray.astype(jnp.float32) / 255.0
     img = gray
     base_factor = 1.0
     input_sigma = 0.5  # assumed camera blur of the raw image (Lowe)
