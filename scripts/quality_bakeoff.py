@@ -137,7 +137,10 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
     """Train the trainable head on the synthetic tree; returns best ckpt."""
     from vit_colmap_tpu.training.train import main as train_main
 
-    ckpt_dir = work / "checkpoints"
+    ckpt_dir = work / (
+        "checkpoints_bb" if getattr(args, "train_backbone", False)
+        else "checkpoints"
+    )
     # top_k invariant points must fit the token grid (H/14 * W/14).
     top_k = min(256, (args.height // 14) * (args.width // 14) // 2)
     # Crash resilience: the TPU tunnel in this environment can drop
@@ -171,6 +174,8 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
         "--photometric-strength", "0.5",
         "--seed", "0",
     ] + resume
+    if getattr(args, "train_backbone", False):
+        argv += ["--train-backbone"]
     print(f"Training trainable head: {' '.join(argv)}")
     train_main(argv)
     best = ckpt_dir / "best_model"
@@ -182,6 +187,8 @@ def _weights_label(name: str) -> str:
     rows must be labeled in the table, not a footnote)."""
     if name in ("sift", "dummy", "colmap_sift"):
         return "n/a (no model)"
+    if name.endswith("_finetuned"):
+        return "trained heads + FINE-TUNED backbone (from random init)"
     if name.endswith("_trained"):
         return "trained heads, RANDOM backbone"
     return "RANDOM backbone (untrained)"
@@ -210,7 +217,8 @@ def to_markdown(results: dict) -> str:
     for name, r in results["hpatches"].items():
         m, h = r["mma"], r["homography_accuracy"]
         lines.append(
-            f"| {name} | {_weights_label(name)} | {r['pairs']} | "
+            f"| {name} | {r.get('weights_label', _weights_label(name))} | "
+            f"{r['pairs']} | "
             f"{r['avg_matches']:.0f} | "
             f"{m['1.0']:.3f} | {m['3.0']:.3f} | {m['5.0']:.3f} | "
             f"{h['1.0']:.3f} | {h['3.0']:.3f} | {h['5.0']:.3f} |"
@@ -227,7 +235,7 @@ def to_markdown(results: dict) -> str:
         rec = r.get("reconstruction") or {}
         mat = r["matching"]
         lines.append(
-            f"| {name} | {_weights_label(name)} | "
+            f"| {name} | {r.get('weights_label', _weights_label(name))} | "
             f"{rec.get('registered_images', 0)} | "
             f"{rec.get('total_3d_points', 0)} | "
             f"{rec.get('avg_track_length', 0):.2f} | "
@@ -246,6 +254,8 @@ def main() -> None:
     ap.add_argument("--backbone", default="vitb14")
     ap.add_argument("--train", action="store_true",
                     help="train the trainable head and re-evaluate")
+    ap.add_argument("--train-backbone", action="store_true",
+                    help="fine-tune the backbone jointly with the heads")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-epoch", type=int, default=25)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -322,15 +332,27 @@ def main() -> None:
 
     if args.train:
         weights = train_heads(hp_dir, work, args)
-        results["hpatches"]["trainable_vit_trained"] = eval_hpatches(
+        # Fine-tuned runs get their own row (and train_heads uses its own
+        # checkpoint dir), so the heads-only trained row stays comparable.
+        if args.train_backbone:
+            row = "trainable_vit_finetuned"
+            trained_label = (
+                "trained heads + FINE-TUNED backbone (from random init)"
+            )
+        else:
+            row = "trainable_vit_trained"
+            trained_label = "trained heads, RANDOM backbone"
+        results["hpatches"][row] = eval_hpatches(
             hp_dir, "trainable_vit", args, weights=weights
         )
+        results["hpatches"][row]["weights_label"] = trained_label
         persist()
         if not args.skip_recon:
-            results["reconstruction"]["trainable_vit_trained"] = (
+            results["reconstruction"][row] = (
                 run_reconstruction(scene_dir, "trainable_vit", args,
                                    cam_params, weights=weights)
             )
+            results["reconstruction"][row]["weights_label"] = trained_label
             persist()
 
     persist()

@@ -69,6 +69,51 @@ def test_train_checkpoint_loads_into_extractor(tmp_path):
 
 
 @pytest.mark.slow
+def test_finetuned_backbone_roundtrips_into_extractor(tmp_path):
+    """--train-backbone checkpoints embed the backbone; the extractor must
+    restore it (not fall back to its own random init)."""
+    import jax
+
+    from vit_colmap_tpu.features.trainable_vit_extractor import (
+        TrainableViTExtractor,
+    )
+    from vit_colmap_tpu.training.train import main as train_main
+
+    ckpt_dir = tmp_path / "ckpt_bb"
+    train_main(
+        [
+            "--synthetic-only", "--synthetic-image-size", "56",
+            "--backbone", "vits14", "--epochs", "1", "--batch-size", "2",
+            "--steps-per-epoch", "2", "--top-k", "16",
+            "--train-backbone", "--backbone-lr-scale", "0.5",
+            "--output-dir", str(ckpt_dir), "--log-interval", "1",
+        ]
+    )
+    assert (ckpt_dir / "best_model").exists()
+    import json
+
+    assert json.loads((ckpt_dir / "meta.json").read_text())["train_backbone"]
+
+    ex = TrainableViTExtractor(
+        weights_path=str(ckpt_dir / "best_model"),
+        backbone="vits14", num_keypoints=64, image_batch=1,
+    )
+    ex_fresh = TrainableViTExtractor(
+        weights_path=None, backbone="vits14", num_keypoints=64, image_batch=1,
+    )
+    # Same seed => identical random init; any difference must come from the
+    # restored fine-tuned backbone.
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        ex.params["params"]["backbone"],
+        ex_fresh.params["params"]["backbone"],
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0, (
+        "fine-tuned backbone was not restored"
+    )
+
+
+@pytest.mark.slow
 def test_training_resume_continues_step_count(tmp_path):
     from vit_colmap_tpu.training.train import main as train_main
 

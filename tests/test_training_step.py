@@ -194,6 +194,58 @@ def test_full_train_step_multichip():
 
 
 @pytest.mark.slow
+def test_train_backbone_finetune():
+    """--train-backbone: gradients reach the backbone, both subtrees move,
+    and the combined checkpoint layout round-trips into the extractor."""
+    from vit_colmap_tpu.models.dinov2 import ViTConfig, DinoV2
+    from vit_colmap_tpu.models.feature_model import FeatureHeads, FeatureModelConfig
+    from vit_colmap_tpu.training.train_step import (
+        init_train_state,
+        make_finetune_optimizer,
+        make_train_step,
+    )
+
+    bcfg = ViTConfig(
+        embed_dim=32, depth=2, num_heads=2, pretrain_grid=8, dtype=jnp.float32
+    )
+    backbone = DinoV2(bcfg)
+    hcfg = FeatureModelConfig(descriptor_dim=16, hidden=32, trunk_dim=32,
+                              dtype=jnp.float32)
+    heads = FeatureHeads(hcfg)
+    B, H, W = 2, 56, 56
+    key = jax.random.key(0)
+    bparams = backbone.init(key, jnp.zeros((1, H, W, 3)))
+    hparams = heads.init(key, jnp.zeros((1, H // 14, W // 14, bcfg.embed_dim)))
+    opt = make_finetune_optimizer(
+        learning_rate=3e-3, total_steps=10, warmup_steps=1,
+        backbone_lr_scale=0.1,
+    )
+    trainable = {"heads": hparams, "backbone": bparams}
+    state = init_train_state(trainable, opt)
+    step, eval_step = make_train_step(
+        backbone.apply, heads.apply, opt, batch_kwargs={"top_k": 16},
+        train_backbone=True,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image1": rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8),
+        "image2": rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8),
+        "H": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+    }
+    state2, metrics = step(state, None, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    for sub in ("heads", "backbone"):
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.heads_params[sub], state2.heads_params[sub],
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0, f"{sub} did not move"
+    m2 = eval_step(state2, None, batch, jax.random.key(2))
+    assert np.isfinite(float(m2["total_loss"]))
+
+
+@pytest.mark.slow
 def test_training_overfits_single_batch():
     """Gradient quality check: loss must drop markedly when overfitting one
     fixed batch (catches silently-broken gradients/losses)."""

@@ -92,6 +92,7 @@ def process_batch(
     num_cross: int = 4,
     num_hard: int = 4,
     structure_alpha: float = 1.0,
+    train_backbone: bool = False,
 ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """images1/images2 (B, H, W, 3) uint8 + H12 (B, 3, 3) ->
     (outputs, targets) for :func:`vit_colmap_tpu.losses.total_loss`."""
@@ -99,13 +100,19 @@ def process_batch(
     B = img1.shape[0]
 
     # Frozen backbone, evaluated once per image (reference
-    # ``training_batch.py:234-239`` uses inference_mode similarly).
+    # ``training_batch.py:234-239`` uses inference_mode similarly).  With
+    # ``train_backbone`` the stop_gradient is dropped so fine-tuning can
+    # reach the backbone — an intentional extension over the reference's
+    # always-frozen contract (``model/vit_feature_model.py:63-66``): with no
+    # pretrained DINOv2 weights available, a frozen RANDOM backbone bounds
+    # descriptor semantics, so learning has to reach it to help.
     def backbone_feats(img):
         out = backbone_apply(backbone_params, preprocess(img))
         gh, gw = out["grid"]
-        return jax.lax.stop_gradient(
-            out["x_norm_patchtokens"].reshape(B, gh, gw, -1)
-        )
+        toks = out["x_norm_patchtokens"].reshape(B, gh, gw, -1)
+        if not train_backbone:
+            toks = jax.lax.stop_gradient(toks)
+        return toks
 
     feats1 = backbone_feats(img1)
     feats2 = backbone_feats(img2)

@@ -118,10 +118,22 @@ class TrainableViTExtractor(BaseExtractor):
         else:
             heads = restored
         p = dict(self.params["params"])
+        backbone = None
+        # --train-backbone checkpoints store the combined trainable pytree
+        # {"heads": ..., "backbone": ...} (training/train.py): restore both.
+        if isinstance(heads, dict) and "backbone" in heads and "heads" in heads:
+            backbone = heads["backbone"]
+            heads = heads["heads"]
         hp = heads.get("params", heads)
         if "heads" in hp:
             hp = hp["heads"]
         p["heads"] = hp
+        if backbone is not None:
+            bp = backbone.get("params", backbone)
+            if "backbone" in bp:
+                bp = bp["backbone"]
+            p["backbone"] = bp
+            logger.info("Restored fine-tuned backbone from %s", path)
         self.params = {"params": p}
         logger.info("Loaded trainable-head checkpoint from %s", path)
 

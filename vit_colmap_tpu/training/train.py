@@ -58,6 +58,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--backbone", default="vitb14")
     ap.add_argument("--backbone-weights", type=Path, default=None)
     ap.add_argument("--descriptor-dim", type=int, default=128)
+    ap.add_argument("--train-backbone", action="store_true",
+                    help="Fine-tune the backbone jointly with the heads "
+                    "(extension over the reference's frozen backbone; "
+                    "checkpoints then embed the backbone)")
+    ap.add_argument("--backbone-lr-scale", type=float, default=0.1,
+                    help="Backbone LR = lr * this (with --train-backbone)")
     # Optimization
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=4)
@@ -203,6 +209,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from vit_colmap_tpu.training.train_step import (
         TrainState,
         init_train_state,
+        make_finetune_optimizer,
         make_optimizer,
         make_train_step,
     )
@@ -311,14 +318,27 @@ def main(argv: Optional[list[str]] = None) -> None:
     )
 
     total_steps = args.epochs * steps_per_epoch
-    optimizer = make_optimizer(
-        args.lr, args.weight_decay, total_steps, args.warmup_steps, args.grad_clip
-    )
-    state = init_train_state(hparams, optimizer)
+    if args.train_backbone:
+        optimizer = make_finetune_optimizer(
+            args.lr, args.weight_decay, total_steps, args.warmup_steps,
+            args.grad_clip, backbone_lr_scale=args.backbone_lr_scale,
+        )
+        trainable = {"heads": hparams, "backbone": bparams}
+        bparams = None  # lives inside the train state now
+        logger.info("Fine-tuning backbone (lr scale %.3g)",
+                    args.backbone_lr_scale)
+    else:
+        optimizer = make_optimizer(
+            args.lr, args.weight_decay, total_steps, args.warmup_steps,
+            args.grad_clip,
+        )
+        trainable = hparams
+    state = init_train_state(trainable, optimizer)
     step_fn, eval_fn = make_train_step(
         backbone.apply,
         heads.apply,
         optimizer,
+        train_backbone=args.train_backbone,
         loss_kwargs=dict(
             lambda_det=args.lambda_det,
             lambda_desc=args.lambda_desc,
@@ -362,7 +382,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         # in-flight save.
         ckptr.wait_until_finished()
         json.dump(
-            {"epoch": epoch, "step": int(state.step)}, open(out_dir / "meta.json", "w")
+            {"epoch": epoch, "step": int(state.step),
+             "train_backbone": bool(args.train_backbone)},
+            open(out_dir / "meta.json", "w"),
         )
 
     scalars = ScalarLogger(out_dir / "scalars.jsonl")

@@ -49,6 +49,56 @@ def make_optimizer(
     )
 
 
+def make_finetune_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    total_steps: int = 10000,
+    warmup_steps: int = 100,
+    grad_clip: float = 1.0,
+    backbone_lr_scale: float = 0.1,
+) -> optax.GradientTransformation:
+    """Optimizer over the combined ``{"heads", "backbone"}`` pytree: heads
+    at full LR, backbone at ``backbone_lr_scale`` x (standard fine-tuning
+    practice — the randomly-init'd/pretrained backbone moves slower than the
+    fresh heads).  Global-norm clip spans both subtrees."""
+    heads_opt = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.1,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_steps, warmup_steps + 1),
+            end_value=learning_rate / 100.0,
+        ),
+        weight_decay=weight_decay,
+    )
+    bb_lr = learning_rate * backbone_lr_scale
+    backbone_opt = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            init_value=bb_lr * 0.1,
+            peak_value=bb_lr,
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_steps, warmup_steps + 1),
+            end_value=bb_lr / 100.0,
+        ),
+        weight_decay=weight_decay,
+    )
+
+    def label_fn(tree):
+        return {
+            "heads": jax.tree_util.tree_map(lambda _: "heads", tree["heads"]),
+            "backbone": jax.tree_util.tree_map(
+                lambda _: "backbone", tree["backbone"]
+            ),
+        }
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {"heads": heads_opt, "backbone": backbone_opt}, label_fn
+        ),
+    )
+
+
 def init_train_state(heads_params, optimizer) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -63,15 +113,31 @@ def make_train_step(
     optimizer,
     loss_kwargs: Optional[dict] = None,
     batch_kwargs: Optional[dict] = None,
+    train_backbone: bool = False,
 ):
     """Build the jitted train step closure.
 
     Returns ``step(state, backbone_params, batch, key) -> (state, metrics)``.
+
+    With ``train_backbone=True`` the trainable pytree in
+    ``state.heads_params`` is ``{"heads": ..., "backbone": ...}`` and the
+    ``backbone_params`` argument is ignored (pass ``None``); gradients flow
+    into the backbone and the optimizer (built over the combined pytree,
+    typically with a lower backbone LR via ``optax.multi_transform``)
+    updates both.  Extension over the reference's always-frozen backbone
+    (``scripts/train_vit_features.py:543-548``).
     """
     loss_kwargs = loss_kwargs or {}
-    batch_kwargs = batch_kwargs or {}
+    batch_kwargs = dict(batch_kwargs or {})
+    if train_backbone:
+        batch_kwargs["train_backbone"] = True
 
-    def loss_fn(heads_params, backbone_params, batch, key):
+    def loss_fn(trainable, backbone_params, batch, key):
+        if train_backbone:
+            heads_params = trainable["heads"]
+            backbone_params = trainable["backbone"]
+        else:
+            heads_params = trainable
         outputs, targets = process_batch(
             backbone_apply,
             backbone_params,
