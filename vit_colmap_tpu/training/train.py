@@ -300,7 +300,14 @@ def main(argv: Optional[list[str]] = None) -> None:
             return _stream(val_idx, 10_000)
 
     # ---------------------------------------------------------------- model
-    backbone, bcfg = make_backbone(args.backbone)
+    # Fine-tuning differentiates the backbone: the Pallas flash/fixedmax
+    # attention kernels are forward-only (no backward block specs), so the
+    # trainable-backbone path pins XLA attention — within ~9% of the Pallas
+    # kernel in the isolated-stack ablation (PROFILE_BACKBONE), and XLA's
+    # attention backward is well-fused at training shapes.
+    backbone, bcfg = make_backbone(
+        args.backbone, attn_impl="xla" if args.train_backbone else "auto"
+    )
     key = jax.random.key(args.seed)
     bparams = backbone.init(key, jnp.zeros((1, 224, 224, 3)))
     if args.backbone_weights:
@@ -397,7 +404,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         losses = []
+        attempted = 0
         for i, batch in enumerate(prefetch(train_stream(epoch))):
+            attempted += 1
             try:
                 batch = {
                     k: jax.device_put(v, batch_sharding) for k, v in batch.items()
@@ -426,6 +435,16 @@ def main(argv: Optional[list[str]] = None) -> None:
             "epoch %d done: %d steps, %.2f s/step, mean loss %.4f",
             epoch, n_steps, dt / max(n_steps, 1), float(np.mean(losses or [0])),
         )
+        # Per-batch skip is for TRANSIENT failures (reference parity,
+        # ``train_vit_features.py:213-218``).  An epoch where EVERY batch
+        # failed is a systematic breakage (bad config, non-differentiable
+        # kernel, OOM) — burning the remaining epochs on it would "complete"
+        # training with an untouched model.
+        if n_steps == 0 and attempted > 0:
+            raise RuntimeError(
+                f"epoch {epoch}: all {attempted} batches failed — aborting "
+                "(see logged exceptions above)"
+            )
 
         # validation
         val_losses = []
