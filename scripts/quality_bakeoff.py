@@ -175,7 +175,10 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
         "--seed", "0",
     ] + resume
     if getattr(args, "train_backbone", False):
-        argv += ["--train-backbone"]
+        # Fine-tune states are ~1 GB (backbone + AdamW moments); a full-state
+        # save fetches them over the device wire, so checkpoint sparsely.
+        argv += ["--train-backbone", "--latest-every", "4",
+                 "--save-interval", "8"]
     print(f"Training trainable head: {' '.join(argv)}")
     train_main(argv)
     best = ckpt_dir / "best_model"

@@ -21,6 +21,7 @@ Usage: ``python -m vit_colmap_tpu.training.train --data-dir <hpatches> ...``
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import logging
 import time
@@ -97,6 +98,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # Checkpointing / logging
     ap.add_argument("--output-dir", type=Path, default=Path("checkpoints"))
     ap.add_argument("--save-interval", type=int, default=1, help="epochs")
+    ap.add_argument("--latest-every", type=int, default=1,
+                    help="epochs between 'latest' full-state saves (the "
+                    "final epoch always saves). Fine-tune states are large "
+                    "(backbone + AdamW moments ~1 GB) and each full save "
+                    "fetches them over the device wire; >1 trades resume "
+                    "granularity for wall-clock")
     ap.add_argument("--resume", type=Path, default=None)
     ap.add_argument("--log-interval", type=int, default=10, help="steps")
     ap.add_argument("--seed", type=int, default=0)
@@ -294,7 +301,15 @@ def main(argv: Optional[list[str]] = None) -> None:
                 }
 
         def train_stream(epoch):
-            return _stream(train_idx, args.seed + epoch)
+            # ``--steps-per-epoch`` must actually bound the epoch: the LR
+            # schedule sizes total_steps from it, and an uncapped stream
+            # (full split = len(train_idx)//B batches) would burn through
+            # the cosine schedule len(train_idx)//(B*steps_per_epoch)x
+            # faster than configured.  Different shuffle seed per epoch
+            # keeps coverage of the full split across epochs.
+            return itertools.islice(
+                _stream(train_idx, args.seed + epoch), steps_per_epoch
+            )
 
         def val_stream():
             return _stream(val_idx, 10_000)
@@ -380,19 +395,34 @@ def main(argv: Optional[list[str]] = None) -> None:
             start_epoch = json.load(open(meta_path)).get("epoch", 0)
         logger.info("Resumed from %s at step %d", args.resume, int(state.step))
 
-    def save(name: str, epoch: int):
+    def save(name: str, epoch: int, params_only: bool = False):
+        """Initiate an async checkpoint save and return.
+
+        Serialization fetches the full state over the device wire (fine-tune
+        states run ~1 GB with AdamW moments), so the fetch+write is left in
+        orbax's background thread to overlap the next epoch's steps; a new
+        save first drains the previous one, and training end blocks on the
+        final save.  ``params_only`` drops step/opt_state — enough for
+        inference-side loading (``TrainableViTExtractor._load_checkpoint``)
+        at a third of the bytes; ``latest`` stays full-state for --resume.
+        Caveat: meta.json is written at initiation, so a crash during the
+        background write can leave meta one save ahead of the last committed
+        checkpoint — costs at most one re-trained epoch on resume.
+        """
         path = out_dir / name
-        ckptr.save(
-            path, jax.tree_util.tree_map(np.asarray, state), force=True
-        )
-        # StandardCheckpointer is async; block so process exit can't race an
-        # in-flight save.
         ckptr.wait_until_finished()
-        json.dump(
-            {"epoch": epoch, "step": int(state.step),
-             "train_backbone": bool(args.train_backbone)},
-            open(out_dir / "meta.json", "w"),
+        payload = {"heads_params": state.heads_params} if params_only else state
+        ckptr.save(
+            path, jax.tree_util.tree_map(np.asarray, payload), force=True
         )
+        if name == "latest":
+            # meta.json describes the resume point; best_model/epoch_NNNN
+            # saves must not advance it past the last ``latest``.
+            json.dump(
+                {"epoch": epoch, "step": int(state.step),
+                 "train_backbone": bool(args.train_backbone)},
+                open(out_dir / "meta.json", "w"),
+            )
 
     scalars = ScalarLogger(out_dir / "scalars.jsonl")
     bparams = jax.device_put(bparams, replicated)
@@ -457,14 +487,16 @@ def main(argv: Optional[list[str]] = None) -> None:
         scalars.log(event="val", epoch=epoch, step=int(state.step), total_loss=val_loss)
         logger.info("epoch %d val loss %.4f", epoch, val_loss)
 
-        save("latest", epoch + 1)
+        if (epoch + 1) % args.latest_every == 0 or epoch + 1 == args.epochs:
+            save("latest", epoch + 1)
         if (epoch + 1) % args.save_interval == 0:
             save(f"checkpoint_epoch_{epoch + 1:04d}", epoch + 1)
         if val_loss < best_val:
             best_val = val_loss
-            save("best_model", epoch + 1)
+            save("best_model", epoch + 1, params_only=True)
             logger.info("new best model (val %.4f)", val_loss)
 
+    ckptr.wait_until_finished()
     scalars.close()
     logger.info("Training complete. Checkpoints in %s", out_dir)
 
