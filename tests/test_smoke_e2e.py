@@ -122,3 +122,32 @@ def test_shard_descriptors_mode_matches_identically(tmp_path):
     assert tables[False].keys() == tables[True].keys()
     for k in tables[False]:
         np.testing.assert_array_equal(tables[False][k], tables[True][k])
+
+
+def test_max_num_matches_cap(tmp_path):
+    """MatchingConfig.max_num_matches must bound per-pair stored matches
+    (COLMAP SiftMatchingOptions.max_num_matches semantics)."""
+    from vit_colmap_tpu.features.dummy_extractor import DummyExtractor
+    from vit_colmap_tpu.pipeline.match import match_exhaustive
+    from vit_colmap_tpu.utils.config import MatchingConfig
+
+    image_dir = tmp_path / "images"
+    _make_checkerboards(image_dir, n=3)
+    db_path = tmp_path / "db.db"
+    # step=64 grid on 640x480 -> 70 keypoints/image, identity matches.
+    DummyExtractor(step=64).extract(image_dir, db_path, "PINHOLE", None)
+
+    cap = 5
+    cfg = MatchingConfig(max_num_matches=cap, do_verification=False)
+    stats = match_exhaustive(db_path, cfg)
+    assert stats.matched_pairs >= 1
+    with ColmapDatabase.open_database(db_path) as db:
+        ids = sorted(db.read_images().keys())
+        seen = 0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                m = db.read_matches(a, b)
+                if m is not None and len(m):
+                    assert len(m) <= cap
+                    seen += 1
+        assert seen >= 1

@@ -3,8 +3,11 @@
 Mirrors the reference trainer's surface (``scripts/train_vit_features.py``:
 ~45 argparse flags, AdamW + cosine LR with eta_min = lr/100, grad clip 1.0,
 random 90/10 train/val split, per-batch error-skip semantics, checkpoints
-``checkpoint_epoch_NNNN`` / ``best_model`` / ``latest`` with full state and
-resume) — rebuilt TPU-native:
+``checkpoint_epoch_NNNN`` / ``latest`` with full state and resume) — rebuilt
+TPU-native.  Deliberate format divergence from the reference: ``best_model``
+is **params-only** (inference-oriented, a third of the bytes), whereas the
+reference's ``best_model.pt`` stores full model+optimizer+scheduler state;
+``latest`` is the only resume-capable checkpoint here.  Other differences:
 
 * one jitted DP train step over the device mesh (no AMP flags: compute is
   bfloat16 by design; no torch.compile: everything is already XLA),
@@ -386,42 +389,66 @@ def main(argv: Optional[list[str]] = None) -> None:
     ckptr = ocp.StandardCheckpointer()
     start_epoch = 0
     if args.resume:
-        restored = ckptr.restore(
-            Path(args.resume).resolve(), jax.tree_util.tree_map(np.asarray, state)
-        )
+        try:
+            restored = ckptr.restore(
+                Path(args.resume).resolve(),
+                jax.tree_util.tree_map(np.asarray, state),
+            )
+        except Exception as e:
+            # best_model is params-only ({"heads_params": ...}) and cannot
+            # restore against a full TrainState template; fail with a clear
+            # message instead of orbax's structure mismatch.
+            raise SystemExit(
+                f"--resume {args.resume} is not a full-state checkpoint "
+                "(best_model is params-only; resume from 'latest' or a "
+                f"checkpoint_epoch_NNNN instead): {e}"
+            ) from e
         state = TrainState(*restored)
         meta_path = Path(args.resume).resolve().parent / "meta.json"
         if meta_path.exists():
             start_epoch = json.load(open(meta_path)).get("epoch", 0)
         logger.info("Resumed from %s at step %d", args.resume, int(state.step))
 
+    # meta.json must describe a COMMITTED 'latest' checkpoint: writing it at
+    # save initiation would let a crash during the ~1 GB background write
+    # leave meta AHEAD of the last committed state, making resume (and
+    # quality_bakeoff's "already complete; reusing" check) silently skip
+    # epochs.  So the pending {epoch, step} is stashed here and flushed only
+    # after the next wait_until_finished() proves the save committed.
+    pending_meta: dict = {}
+
+    def _flush_meta() -> None:
+        # Call ONLY after ckptr.wait_until_finished(): the previous 'latest'
+        # save is then durable on disk and meta may advance to it.
+        if pending_meta:
+            json.dump(pending_meta.copy(), open(out_dir / "meta.json", "w"))
+            pending_meta.clear()
+
     def save(name: str, epoch: int, params_only: bool = False):
         """Initiate an async checkpoint save and return.
 
-        Serialization fetches the full state over the device wire (fine-tune
-        states run ~1 GB with AdamW moments), so the fetch+write is left in
-        orbax's background thread to overlap the next epoch's steps; a new
-        save first drains the previous one, and training end blocks on the
-        final save.  ``params_only`` drops step/opt_state — enough for
-        inference-side loading (``TrainableViTExtractor._load_checkpoint``)
-        at a third of the bytes; ``latest`` stays full-state for --resume.
-        Caveat: meta.json is written at initiation, so a crash during the
-        background write can leave meta one save ahead of the last committed
-        checkpoint — costs at most one re-trained epoch on resume.
+        The state is fetched to host synchronously here (np.asarray — on the
+        axon relay, handing live device arrays to orbax's background thread
+        races the next epoch's donated-buffer updates), so only the disk
+        write overlaps the next epoch's steps; a new save first drains the
+        previous one, and training end blocks on the final save.
+        ``params_only`` drops step/opt_state — enough for inference-side
+        loading (``TrainableViTExtractor._load_checkpoint``) at a third of
+        the bytes; ``latest`` stays full-state for --resume.
         """
         path = out_dir / name
         ckptr.wait_until_finished()
+        _flush_meta()  # the previous 'latest' is committed by the wait above
         payload = {"heads_params": state.heads_params} if params_only else state
         ckptr.save(
             path, jax.tree_util.tree_map(np.asarray, payload), force=True
         )
         if name == "latest":
-            # meta.json describes the resume point; best_model/epoch_NNNN
-            # saves must not advance it past the last ``latest``.
-            json.dump(
+            # best_model/epoch_NNNN saves must not advance the resume point
+            # past the last committed ``latest``.
+            pending_meta.update(
                 {"epoch": epoch, "step": int(state.step),
-                 "train_backbone": bool(args.train_backbone)},
-                open(out_dir / "meta.json", "w"),
+                 "train_backbone": bool(args.train_backbone)}
             )
 
     scalars = ScalarLogger(out_dir / "scalars.jsonl")
@@ -497,6 +524,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             logger.info("new best model (val %.4f)", val_loss)
 
     ckptr.wait_until_finished()
+    _flush_meta()
     scalars.close()
     logger.info("Training complete. Checkpoints in %s", out_dir)
 
