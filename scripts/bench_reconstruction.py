@@ -76,7 +76,19 @@ def main() -> None:
     reproj = 0.0
     track_mean = 0.0
     track_hist: dict[str, int] = {}
+    pose = None
     if pipe.reconstructions:
+        # Ground-truth pose oracle: Umeyama-align the biggest model to the
+        # renderer's exact poses (sfm/align.py) — reprojection error alone
+        # can look excellent on subtly wrong geometry.
+        from vit_colmap_tpu.sfm.align import (
+            best_pose_errors,
+            gt_poses_for_rendered_scene,
+        )
+
+        pose = best_pose_errors(
+            pipe.reconstructions, gt_poses_for_rendered_scene(image_dir)
+        )
         registered = sum(len(r.images) for r in pipe.reconstructions.values())
         points3d = sum(len(r.points3D) for r in pipe.reconstructions.values())
         biggest = max(pipe.reconstructions.values(), key=lambda r: len(r.images))
@@ -110,6 +122,11 @@ def main() -> None:
         "mean_track_length": round(track_mean, 2),
         "track_length_hist": dict(sorted(track_hist.items())),
         "mean_reproj_error_px": round(reproj, 3),
+        "pose_rot_err_deg": round(pose["pose_rot_err_deg_mean"], 4) if pose else None,
+        "pose_rot_err_deg_max": round(pose["pose_rot_err_deg_max"], 4) if pose else None,
+        "pose_center_err_rel": round(pose["pose_center_err_rel_mean"], 5) if pose else None,
+        "pose_center_err_rel_max": round(pose["pose_center_err_rel_max"], 5) if pose else None,
+        "aligned_cameras": pose["aligned_cameras"] if pose else 0,
         "resolution": f"{args.height}x{args.width}",
         "device": str(jax.devices()[0]),
     }))

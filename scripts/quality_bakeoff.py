@@ -127,9 +127,24 @@ def run_reconstruction(scene_dir: Path, extractor: str, args, cam_params,
     }
     if d["reconstruction"]:
         d["reconstruction"].pop("reconstructions", None)
+    # GT pose oracle (sfm/align.py): the rendered scene ships exact poses.
+    from vit_colmap_tpu.sfm.align import (
+        best_pose_errors,
+        gt_poses_for_rendered_scene,
+    )
+
+    pose = best_pose_errors(
+        pipe.reconstructions, gt_poses_for_rendered_scene(scene_dir)
+    )
+    if pose:
+        pose.pop("per_image", None)
+        d["pose_vs_gt"] = pose
     print(f"[{extractor}] recon: {wall:.1f}s, "
           f"registered={res.reconstruction.registered_images if res.reconstruction else 0}, "
-          f"points={res.reconstruction.total_3d_points if res.reconstruction else 0}")
+          f"points={res.reconstruction.total_3d_points if res.reconstruction else 0}, "
+          + (f"rot_err={pose['pose_rot_err_deg_mean']:.3f}deg, "
+             f"ctr_err={100 * pose['pose_center_err_rel_mean']:.2f}%"
+             if pose else "pose_vs_gt=n/a"))
     return d
 
 
@@ -231,18 +246,24 @@ def to_markdown(results: dict) -> str:
         "## Reconstruction protocol (full pipeline on rendered scene)",
         "",
         "| extractor | weights | reg. images | 3D points | track len | "
-        "reproj err | inlier ratio | verified pairs | wall clock |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "reproj err | rot err (GT) | ctr err (GT) | inlier ratio | "
+        "verified pairs | wall clock |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results["reconstruction"].items():
         rec = r.get("reconstruction") or {}
         mat = r["matching"]
+        pose = r.get("pose_vs_gt")
+        rot = f"{pose['pose_rot_err_deg_mean']:.3f}°" if pose else "—"
+        ctr = (f"{100 * pose['pose_center_err_rel_mean']:.2f}%"
+               if pose else "—")
         lines.append(
             f"| {name} | {r.get('weights_label', _weights_label(name))} | "
             f"{rec.get('registered_images', 0)} | "
             f"{rec.get('total_3d_points', 0)} | "
             f"{rec.get('avg_track_length', 0):.2f} | "
             f"{rec.get('avg_reprojection_error', 0):.2f}px | "
+            f"{rot} | {ctr} | "
             f"{mat['inlier_ratio']:.3f} | {mat['verified_pairs']} | "
             f"{r['wall_clock_s']:.1f}s |"
         )

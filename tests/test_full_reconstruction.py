@@ -130,5 +130,21 @@ def test_full_reconstruction_two_planes(tmp_path):
     ratio = c.max() / c.min()
     assert 1.2 < ratio < 2.2, (ratio, c)
 
+    # GT pose oracle (sfm/align.py): Umeyama-align the recovered poses to
+    # the renderer's exact ones.  Reprojection error alone can look fine on
+    # subtly wrong geometry; this pins absolute accuracy (VERDICT r3 item 2).
+    from vit_colmap_tpu.sfm.align import pose_errors_vs_gt
+
+    gt = {f"view_{i}.png": cams[i] for i in range(len(cams))}
+    pose = pose_errors_vs_gt(rec, gt)
+    assert pose is not None and pose["aligned_cameras"] >= 3
+    assert pose["pose_rot_err_deg_max"] < 0.5, pose
+    # Center errors are normalized by the camera-center bbox diagonal —
+    # harsh on this deliberately tiny-baseline scene (arc spans ~0.21 world
+    # units against scene depth 4-6; typical measured rel err ~0.025 ==
+    # 0.13% of scene depth).  The <1% contract lives on the DTU-50 bench
+    # (scripts/bench_reconstruction.py), whose baseline is 3x wider.
+    assert pose["pose_center_err_rel_max"] < 0.04, pose
+
     # Sparse model written to disk in COLMAP format.
     assert (tmp_path / "out" / "sparse" / "0" / "points3D.bin").exists()

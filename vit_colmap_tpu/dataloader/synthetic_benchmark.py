@@ -123,6 +123,10 @@ def render_multiview_scene(
     Returns (cams, K): cams is a list of (R, t) world->camera, K the shared
     pinhole intrinsics.  Slanted planes break the planar-degeneracy so
     two-view verification exercises the CALIBRATED/E path.
+
+    Also persists the ground-truth poses as ``gt_poses.json`` inside
+    ``image_dir`` (keyed by file name) so the pose oracle
+    (:mod:`vit_colmap_tpu.sfm.align`) works on cached scenes.
     """
     import cv2
 
@@ -187,4 +191,11 @@ def render_multiview_scene(
             )
             img[mask > 128] = warped[mask > 128]
         cv2.imwrite(str(image_dir / f"view_{i:03d}.png"), img)
+    from vit_colmap_tpu.sfm.align import save_gt_poses
+
+    save_gt_poses(
+        image_dir / "gt_poses.json",
+        cams,
+        [f"view_{i:03d}.png" for i in range(n_cams)],
+    )
     return cams, K
