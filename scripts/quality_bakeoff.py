@@ -378,6 +378,28 @@ def main() -> None:
             )
             results["reconstruction"][row]["weights_label"] = trained_label
             persist()
+        if args.train_backbone:
+            # Frozen-ViT loop closure (VERDICT r3 item 1): the SAME
+            # fine-tuned backbone drives the frozen Harris/DoG + PCA
+            # extraction path, so the reference's flagship capability
+            # (DINOv2 features -> SfM) is demonstrated rather than run on
+            # random weights.  PCA re-fits on the fine-tuned features
+            # (no pca_path -> deterministic refit per extractor).
+            fz_label = "frozen FINE-TUNED backbone (from random init)"
+            results["hpatches"]["vit_finetuned"] = eval_hpatches(
+                hp_dir, "vit", args, weights=weights
+            )
+            results["hpatches"]["vit_finetuned"]["weights_label"] = fz_label
+            persist()
+            if not args.skip_recon:
+                results["reconstruction"]["vit_finetuned"] = (
+                    run_reconstruction(scene_dir, "vit", args,
+                                       cam_params, weights=weights)
+                )
+                results["reconstruction"]["vit_finetuned"]["weights_label"] = (
+                    fz_label
+                )
+                persist()
 
     persist()
     (work / "QUALITY.md").write_text(to_markdown(results))

@@ -47,6 +47,24 @@ def test_from_args_overlays():
     assert c.reconstruction.min_num_matches == 30
 
 
+def test_sfm_keypoint_budget():
+    """trainable_vit SfM budget: score-ranked top-K by default, the
+    reference's 20480 flood only when explicitly disabled (=0)."""
+    from vit_colmap_tpu.pipeline.run_pipeline import Pipeline
+
+    c = Config()
+    assert c.extractor.sfm_max_keypoints == 4096
+    c.extractor.extractor_type = "trainable_vit"
+    assert Pipeline(c)._build_extractor().num_keypoints == 4096
+
+    c2 = Config.from_args(_args(extractor="trainable_vit", sfm_max_keypoints=0))
+    assert c2.extractor.sfm_max_keypoints == 0
+    assert Pipeline(c2)._build_extractor().num_keypoints == 20480
+
+    c3 = Config.from_args(_args(sfm_max_keypoints=1024))
+    assert c3.extractor.sfm_max_keypoints == 1024
+
+
 def test_use_colmap_sift_flag():
     c = Config.from_args(_args(use_colmap_sift=True))
     assert c.extractor.extractor_type == "colmap_sift"

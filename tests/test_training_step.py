@@ -235,6 +235,8 @@ def test_train_backbone_finetune():
     }
     state2, metrics = step(state, None, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["total_loss"]))
+    # The dense raw-token objective rides only the fine-tune path.
+    assert "token_loss" in metrics and np.isfinite(float(metrics["token_loss"]))
     for sub in ("heads", "backbone"):
         diff = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()),
@@ -243,6 +245,38 @@ def test_train_backbone_finetune():
         assert max(jax.tree_util.tree_leaves(diff)) > 0, f"{sub} did not move"
     m2 = eval_step(state2, None, batch, jax.random.key(2))
     assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_dense_token_loss_discriminates():
+    """dense_token_loss must (a) reward feature maps whose tokens identify
+    their own location, (b) punish location-blind (constant) maps, and
+    (c) exclude out-of-overlap cells via the homography mask."""
+    from vit_colmap_tpu.dataloader.training_batch import dense_token_loss
+
+    B, gh, gw, C = 2, 12, 12, 24
+    key = jax.random.key(0)
+    # Location-coded features: every cell gets a distinct random code.
+    feats = jax.random.normal(jax.random.key(3), (1, gh, gw, C))
+    feats = jnp.tile(feats, (B, 1, 1, 1))
+    H_id = jnp.tile(jnp.eye(3), (B, 1, 1))
+    good, aux = dense_token_loss(feats, feats, H_id, key)
+    assert float(aux["token_pos_sim"]) > 0.8
+    # Constant map: positives indistinguishable from negatives.
+    flat = jnp.ones((B, gh, gw, C))
+    bad, _ = dense_token_loss(flat, flat, H_id, key)
+    assert float(good) < float(bad) - 1.0
+
+    # Translation by half the image: OOB cells masked, loss still finite
+    # and low for location-coded features under the true homography.
+    shift = float(gw // 2 * 14)
+    H_tr = jnp.tile(
+        jnp.array([[1, 0, shift], [0, 1, 0], [0, 0, 1]], jnp.float32),
+        (B, 1, 1),
+    )
+    feats2 = jnp.roll(feats, gw // 2, axis=2)
+    tr, aux_tr = dense_token_loss(feats, feats2, H_tr, key)
+    assert np.isfinite(float(tr))
+    assert float(tr) < float(bad)
 
 
 @pytest.mark.slow

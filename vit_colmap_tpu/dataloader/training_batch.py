@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from vit_colmap_tpu.dataloader.homography_utils import (
+    apply_homography,
     grid_to_image,
     homography_rotation_angle,
+    image_to_grid,
 )
 from vit_colmap_tpu.dataloader.training_sampler import (
     generate_all_negatives,
@@ -78,6 +80,73 @@ def image_structure_grid(
     resp = resp.reshape(resp.shape[0], gh, patch, gw, patch).max(axis=(2, 4))
     mx = jnp.max(resp.reshape(resp.shape[0], -1), axis=-1)
     return resp / jnp.maximum(mx[:, None, None], 1e-12)
+
+
+def dense_token_loss(
+    feats1: jax.Array,  # (B, gh, gw, C) raw backbone patch tokens
+    feats2: jax.Array,
+    H12: jax.Array,  # (B, 3, 3) image-1 -> image-2 pixels
+    key: jax.Array,
+    num_cells: int = 256,
+    temperature: float = 0.1,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Symmetric InfoNCE on RAW backbone tokens at GT correspondences.
+
+    Fine-tuning objective for the frozen-ViT extraction path (VERDICT r3
+    item 1): ``ViTExtractor`` matches PCA-projected raw patch tokens, so the
+    backbone itself — not just the trainable heads — must place mutually
+    nearest tokens at corresponding locations.  The head-descriptor losses
+    reach the backbone only through two conv stacks; this term supervises
+    the tokens the frozen path actually consumes.
+
+    Cells are sampled uniformly at random in image 2 (NOT
+    similarity-selected — selecting by feature agreement would train on the
+    points where random features already agree, a circular target) and
+    mapped through H^-1; tokens are read bilinearly in both images.
+    """
+    B, gh, gw, _ = feats1.shape
+    k1, k2 = jax.random.split(key)
+    xs = jax.random.uniform(k1, (B, num_cells), minval=0.0, maxval=gw - 1.0)
+    ys = jax.random.uniform(k2, (B, num_cells), minval=0.0, maxval=gh - 1.0)
+    coords2 = jnp.stack([xs, ys], axis=-1)  # (B, K, 2) grid coords, img 2
+    pts2_img = grid_to_image(coords2)
+    pts1 = apply_homography(jnp.linalg.inv(H12), pts2_img)
+    coords1 = image_to_grid(pts1)
+    eps = 1e-3
+    ok = (
+        (coords1[..., 0] >= -eps)
+        & (coords1[..., 0] <= gw - 1 + eps)
+        & (coords1[..., 1] >= -eps)
+        & (coords1[..., 1] <= gh - 1 + eps)
+    )  # (B, K)
+
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    t1 = norm(sample_features_at(feats1, coords1))  # (B, K, C)
+    t2 = norm(sample_features_at(feats2, coords2))
+    logits = jnp.einsum("bkd,bld->bkl", t1, t2) / temperature  # (B, K, K)
+    diag = jnp.einsum("bkk->bk", logits)
+    big = 1e9
+    w = ok.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    # t1 -> t2: every t2 column is in-bounds; anchor rows need ok.
+    nce12 = jax.nn.logsumexp(logits, axis=-1) - diag  # (B, K)
+    # t2 -> t1: out-of-bounds t1 columns carry clipped/garbage tokens —
+    # exclude them from the candidate set (except nothing: the diagonal of
+    # an invalid pair is excluded with its row anyway).
+    col_mask = jnp.where(ok[:, None, :], 0.0, -big)  # (B, 1, K) over t1 cols
+    nce21 = jax.nn.logsumexp(logits + col_mask, axis=-2) - diag
+    loss = 0.5 * jnp.mean(
+        jnp.sum((nce12 + nce21) * w, axis=-1) / denom
+    )
+    pos_sim = jnp.sum(
+        jnp.sum(t1 * t2, axis=-1) * w, axis=-1
+    ) / denom
+    return loss, {
+        "token_loss": loss,
+        "token_pos_sim": jax.lax.stop_gradient(jnp.mean(pos_sim)),
+    }
 
 
 def process_batch(
@@ -177,6 +246,12 @@ def process_batch(
         "negatives": negatives,
         "score_at_kp": score_at_kp,
     }
+    if train_backbone:
+        # Raw-token correspondence objective — only meaningful when the
+        # gradient can reach the backbone.
+        tkey = jax.random.fold_in(key, 7)
+        _, token_aux = dense_token_loss(feats1, feats2, H12, tkey)
+        outputs.update(token_aux)
     targets = {
         "score_target": score_target,
         "orient_target": orient2_target,

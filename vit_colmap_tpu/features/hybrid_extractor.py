@@ -71,7 +71,21 @@ class HybridExtractor(BaseExtractor):
         self.model, self.cfg = make_backbone(
             backbone, dtype=dtype, attn_impl="fixedmax"
         )
-        if weights_path:
+        if weights_path and Path(weights_path).is_dir():
+            # Fine-tuned backbone from an orbax --train-backbone checkpoint
+            # (same loop closure as ViTExtractor).
+            from vit_colmap_tpu.models.convert import load_backbone_from_orbax
+
+            bb = load_backbone_from_orbax(str(weights_path))
+            if bb is None:
+                raise ValueError(
+                    f"{weights_path} holds no backbone params; the hybrid "
+                    "extractor needs a --train-backbone checkpoint or a "
+                    "torch .pth file"
+                )
+            logger.info("Loaded fine-tuned backbone from %s", weights_path)
+            self.params = bb
+        elif weights_path:
             from vit_colmap_tpu.models.convert import load_torch_checkpoint
 
             self.params = load_torch_checkpoint(str(weights_path), self.cfg)

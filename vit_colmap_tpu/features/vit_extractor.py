@@ -103,7 +103,24 @@ class ViTExtractor(BaseExtractor):
             backbone, dtype=dtype, attn_impl=attn_impl, quantize=quantize
         )
         key = jax.random.key(seed)
-        if weights_path:
+        if weights_path and Path(weights_path).is_dir():
+            # Orbax checkpoint directory from ``training/train.py
+            # --train-backbone``: the fine-tuned DINOv2 lives inside the
+            # trainable pytree.  This is the frozen-ViT loop closure
+            # (VERDICT r3 item 1): features learned by the fine-tuner drive
+            # the frozen Harris/DoG + PCA extraction path.
+            from vit_colmap_tpu.models.convert import load_backbone_from_orbax
+
+            bb = load_backbone_from_orbax(str(weights_path))
+            if bb is None:
+                raise ValueError(
+                    f"{weights_path} holds no backbone params (heads-only "
+                    "checkpoint?); the frozen ViTExtractor needs a "
+                    "--train-backbone checkpoint or a torch .pth file"
+                )
+            logger.info("Loaded fine-tuned backbone from %s", weights_path)
+            self.params = bb
+        elif weights_path:
             from vit_colmap_tpu.models.convert import load_torch_checkpoint
 
             logger.info("Loading backbone weights from %s", weights_path)

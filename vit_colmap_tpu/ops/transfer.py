@@ -150,10 +150,14 @@ def i420_to_c4(i420: np.ndarray) -> np.ndarray:
     n_y = h * w
     flat = arr.reshape(B, -1)
     # 16-level chroma quantizer with exact endpoints (0->0, 255->255):
-    # q = round(c * 15/255), dequant c' = q * 17.
-    q = np.clip(
-        np.rint(flat[:, n_y:].astype(np.float32) * (15.0 / 255.0)), 0, 15
-    ).astype(np.uint8)
+    # q = round(c * 15/255), dequant c' = q * 17.  Integer form
+    # (c*6 + 51) // 102 == rint(c/17) for all uint8 c (c/17 never lands on
+    # an exact .5, so round-half-even == round-half-up here); avoids the
+    # float32 materialization of the chroma plane on the 1-core host
+    # (RGB->c4 pack measured 63 -> 37 ms per 2-image batch; the remainder
+    # is cv2's RGB->I420).
+    c16 = flat[:, n_y:].astype(np.uint16)
+    q = ((c16 * 6 + 51) // 102).astype(np.uint8)
     pb = (q[:, 0::2] << 4) | q[:, 1::2]  # (B, h*w/4)
     rows_c = _c4_rows(h)
     out = np.zeros((B, (h + rows_c) * w), np.uint8)

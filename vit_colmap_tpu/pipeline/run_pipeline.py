@@ -73,10 +73,17 @@ class Pipeline:
                 TrainableViTExtractor,
             )
 
+            # Reference SfM defaults: 20480 keypoints, NMS 1, threshold 0.4
+            # (``pipeline/run_pipeline.py:329-334`` there).  The score-ranked
+            # budget (sfm_max_keypoints) takes the best K of those: top_k
+            # detection sorts by score, so shrinking k IS the budget — it
+            # cuts O(K^2) matching, verification and BA cost without
+            # changing which keypoints rank first.
+            budget = self.config.extractor.sfm_max_keypoints
             return TrainableViTExtractor(
                 weights_path=self.config.extractor.vit_weights_path,
                 backbone=self.config.extractor.backbone,
-                num_keypoints=20480,
+                num_keypoints=min(20480, budget) if budget else 20480,
                 nms_radius=1,
                 detection_threshold=0.4,
                 image_batch=self.config.extractor.image_batch,
@@ -366,6 +373,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--vit-weights", type=Path, default=None)
     ap.add_argument("--backbone", type=str, default=None)
     ap.add_argument("--max-keypoints", type=int, default=None)
+    ap.add_argument("--sfm-max-keypoints", type=int, default=None,
+                    help="score-ranked keypoint budget for the trainable-ViT"
+                         " SfM path (default 4096; 0 = reference's 20480)")
     ap.add_argument("--pca-path", type=Path, default=None,
                     help="persisted PCA projection (.npz), fit+saved on first use")
     ap.add_argument("--transfer-format",

@@ -88,6 +88,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="InfoNCE weight (anti-collapse)")
     ap.add_argument("--lambda-var", type=float, default=1.0,
                     help="descriptor variance-hinge weight (anti-collapse)")
+    ap.add_argument("--lambda-token", type=float, default=1.0,
+                    help="dense raw-token InfoNCE weight (--train-backbone "
+                         "only): supervises the patch tokens the frozen "
+                         "ViTExtractor consumes")
     ap.add_argument("--pos-weight", type=float, default=None,
                     help="detector BCE positive weight (default: dynamic)")
     ap.add_argument("--top-k", type=int, default=512)
@@ -372,6 +376,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             temperature=args.temperature,
             lambda_nce=args.lambda_nce,
             lambda_var=args.lambda_var,
+            lambda_token=args.lambda_token,
             pos_weight=args.pos_weight,
         ),
         batch_kwargs=dict(

@@ -127,8 +127,12 @@ def make_train_step(
     updates both.  Extension over the reference's always-frozen backbone
     (``scripts/train_vit_features.py:543-548``).
     """
-    loss_kwargs = loss_kwargs or {}
+    loss_kwargs = dict(loss_kwargs or {})
     batch_kwargs = dict(batch_kwargs or {})
+    # Dense raw-token InfoNCE weight (see dense_token_loss): supervises the
+    # tokens the FROZEN extraction path consumes; heads-only training has no
+    # backbone gradient, so the term exists only under train_backbone.
+    lambda_token = loss_kwargs.pop("lambda_token", 1.0)
     if train_backbone:
         batch_kwargs["train_backbone"] = True
 
@@ -147,8 +151,16 @@ def make_train_step(
             key,
             **batch_kwargs,
         )
+        token_loss = outputs.pop("token_loss", None)
+        token_pos_sim = outputs.pop("token_pos_sim", None)
         out = total_loss(outputs, targets, **loss_kwargs)
-        return out.total, out.components
+        total = out.total
+        components = dict(out.components)
+        if token_loss is not None:
+            total = total + lambda_token * token_loss
+            components["token_loss"] = token_loss
+            components["token_pos_sim"] = token_pos_sim
+        return total, components
 
     @jax.jit
     def step(state: TrainState, backbone_params, batch, key):
