@@ -120,6 +120,11 @@ def run_bench(
     else:
         _pack = None
 
+    # Uniform batches at image_batch.  (A staggered [1,1,2,...] schedule —
+    # lead with single-image batches to shrink the exposed first upload —
+    # was tried and measured WORSE: the B=1 backbone program runs well
+    # below half the B=2 rate and each extra dispatch pays ~25 ms of relay
+    # latency; extract wall 1.13 s vs 0.77 s uniform.)
     batches = []
     for s in range(0, num_images, B):
         chunk = imgs[s : s + B]
@@ -303,7 +308,9 @@ def main() -> None:
         h, w = 1190, 1596
         backbone = args.backbone or "vitb14"
         max_kp = 4096
-        pair_batch = 16  # halves dispatch overhead vs 8 (84 vs 141 ms/28 pairs)
+        # All 28 pairs in ONE dispatch: each launch costs ~26 ms of relay
+        # latency (r3 ran 2x16 = 2 launches).
+        pair_batch = 28
 
     # Persistent compilation cache: repeat runs skip the (slow, remote)
     # TPU compiles.

@@ -123,7 +123,10 @@ def main() -> None:
 
     wire_bytes = sum(p.nbytes for p in packed)
     out["wire_mb"] = wire_bytes / 1e6
-    out["wire_mbps_implied"] = wire_bytes / 1e6 / max(
+    # NOTE: the drain materializes the arrays back to host, so this is an
+    # up+down ROUND TRIP over the wire bytes — a lower bound on each
+    # direction's bandwidth, not the H2D rate itself.
+    out["wire_mbps_roundtrip"] = 2 * wire_bytes / 1e6 / max(
         out["h2d_drain_roundtrip_s"], 1e-9
     )
     print(json.dumps({

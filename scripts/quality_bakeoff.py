@@ -192,8 +192,12 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
     if getattr(args, "train_backbone", False):
         # Fine-tune states are ~1 GB (backbone + AdamW moments); a full-state
         # save fetches them over the device wire, so checkpoint sparsely.
+        # backbone-lr-scale: the conventional 0.1 protects PRETRAINED
+        # weights; from random init the backbone is being trained, not
+        # fine-tuned, and needs a real learning rate.
         argv += ["--train-backbone", "--latest-every", "4",
-                 "--save-interval", "8"]
+                 "--save-interval", "8",
+                 "--backbone-lr-scale", str(args.backbone_lr_scale)]
     print(f"Training trainable head: {' '.join(argv)}")
     train_main(argv)
     best = ckpt_dir / "best_model"
@@ -220,11 +224,13 @@ def to_markdown(results: dict) -> str:
         f"{results['meta']['device']}; backbone {results['meta']['backbone']} "
         f"({results['meta']['weights_note']}).",
         "",
-        "No pretrained DINOv2 checkpoint exists in this environment, so every"
-        " ViT-family row runs a randomly initialized backbone: those rows"
-        " measure the PIPELINE (detection/matching/verification machinery),"
-        " not semantic feature quality, and must not be read as the"
-        " reference's ViT-vs-SIFT comparison.",
+        "No pretrained DINOv2 checkpoint exists in this environment."
+        " Rows labeled RANDOM backbone measure the PIPELINE"
+        " (detection/matching/verification machinery), not semantic feature"
+        " quality.  Rows labeled FINE-TUNED run a backbone trained"
+        " from random init on the synthetic tree (self-supervised homography"
+        " objective + dense raw-token loss) — the in-environment stand-in"
+        " for the reference's pretrained-DINOv2 ViT-vs-SIFT comparison.",
         "",
         "## HPatches protocol (MMA / homography accuracy)",
         "",
@@ -280,6 +286,9 @@ def main() -> None:
                     help="train the trainable head and re-evaluate")
     ap.add_argument("--train-backbone", action="store_true",
                     help="fine-tune the backbone jointly with the heads")
+    ap.add_argument("--backbone-lr-scale", type=float, default=0.5,
+                    help="backbone LR = lr * this (from-random default 0.5; "
+                         "use ~0.1 when starting from pretrained weights)")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-epoch", type=int, default=25)
     ap.add_argument("--batch-size", type=int, default=2)

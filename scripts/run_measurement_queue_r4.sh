@@ -38,7 +38,7 @@ run_stage() {
 
 # ---- 1. fine-tune + bake-off rows (writes results/quality/QUALITY.{json,md})
 run_stage BAKEOFF_FINETUNE "$PY" scripts/quality_bakeoff.py \
-  --extractors "" --train --train-backbone --epochs 64
+  --extractors "" --train --train-backbone --epochs 64 --steps-per-epoch 40
 
 CKPT="$ROOT/results/quality/checkpoints_bb/best_model"
 [ -d "$CKPT" ] || CKPT="$ROOT/results/quality/checkpoints_bb/latest"
