@@ -42,7 +42,6 @@ def run_bench(
     from vit_colmap_tpu.ops.matching import (
         compact_matches_device,
         get_pair_matcher,
-        normalize_descriptors,
     )
 
     match_pairs = get_pair_matcher()  # Pallas kernel on TPU, XLA on CPU
@@ -76,12 +75,16 @@ def run_bench(
         max_keypoints=max_keypoints,
         image_batch=min(image_batch, num_images),
         transfer_format=transfer_format,
+        # Match-ready f32 descriptors ride out of the SAME fused program:
+        # no separate re-encode dispatch between extraction and matching
+        # (each dispatch costs ~25 ms of relay launch latency).
+        emit_float_desc=True,
     )
 
     # Warmup / compile (also reveals the actual K the detector returns,
     # which may be below max_keypoints on small grids).
-    _, _, warm_valid, warm_desc = ex.extract_batch(imgs[: ex.image_batch])
-    k_actual = warm_desc.shape[1]
+    warm = ex.extract_batch(imgs[: ex.image_batch])
+    k_actual = warm[3].shape[1]
     # Second warmup: the fused (post-PCA) program compiles on this call.
     _ = ex.extract_batch(imgs[: ex.image_batch])
 
@@ -93,19 +96,11 @@ def run_bench(
     # Descriptors stay ON DEVICE between extraction and matching (the
     # TPU-native dataflow: the only host readbacks in the hot path are the
     # DB-bound keypoint/descriptor arrays, which overlap match compute, and
-    # the compacted match lists).  Re-encoding signed uint8 -> normalized
-    # float rides the device too.
-    @jax.jit
-    def _prep(desc_u8, valid):
-        d = desc_u8.astype(jnp.float32) / 127.5 - 1.0
-        d = jnp.where(valid[..., None], d, 0.0)
-        return normalize_descriptors(d)
+    # the compacted match lists).  The match-ready f32 encoding is emitted
+    # by the extraction program itself (emit_float_desc).
 
-    # Warmup matching + compaction + prep programs.
-    warm_d = _prep(
-        jnp.zeros((pair_batch, k_actual, 128), jnp.uint8),
-        jnp.ones((pair_batch, k_actual), bool),
-    )
+    # Warmup matching + compaction programs.
+    warm_d = jnp.zeros((pair_batch, k_actual, 128), jnp.float32)
     warm_v = jnp.ones((pair_batch, k_actual), bool)
     compact_matches_device(
         match_pairs(warm_d, warm_d, warm_v, warm_v)
@@ -163,20 +158,20 @@ def run_bench(
         else:
             for pad, chunk in batches:
                 ex_pending.append((pad, ex.extract_batch_async(chunk)))
-        # Start D2H of every output NOW (non-blocking): copies drain into
-        # wire gaps while later batches compute.  Blocking np.asarray at
-        # the end then mostly hits completed copies.
+        # Start D2H of the DB-bound outputs NOW (non-blocking): copies drain
+        # into wire gaps while later batches compute.  Blocking np.asarray
+        # at the end then mostly hits completed copies.  The f32 match
+        # descriptors (index 4) stay device-only.
         for pad, outs in ex_pending:
-            for a in outs:
+            for a in outs[:4]:
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
-        desc_dev = jnp.concatenate(
-            [d for pad, (_, _, _, d) in ex_pending], axis=0
+        d_dev = jnp.concatenate(
+            [o[4] for pad, o in ex_pending], axis=0
         )[:num_images]
         valid_dev = jnp.concatenate(
-            [v for pad, (_, _, v, _) in ex_pending], axis=0
+            [o[2] for pad, o in ex_pending], axis=0
         )[:num_images]
-        d_dev = _prep(desc_dev, valid_dev)
         d_dev.block_until_ready()
         t_ex = time.perf_counter() - t0
 
@@ -199,9 +194,7 @@ def run_bench(
         # during match compute, so this is free pipeline overlap.  (The
         # pipeline CLI gets the same overlap from its pending-list sink.)
         db_arrays = [
-            np.asarray(a)
-            for pad, (xy, sc, v, d) in ex_pending
-            for a in (xy, sc, v, d)
+            np.asarray(a) for pad, outs in ex_pending for a in outs[:4]
         ]
         n_matches = 0
         for n_real, (cnts, packed) in match_pending:

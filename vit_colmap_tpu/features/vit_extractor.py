@@ -82,6 +82,11 @@ class ViTExtractor(BaseExtractor):
         transfer_format: str = "rgb",
         quantize: str = "none",  # "none" | "int8" (QKVO+MLP on int8 MXU)
         attn_impl: str = "fixedmax",  # "fixedmax" | "flash" | "xla" | "auto"
+        # Also emit match-ready L2-normalized float32 descriptors (invalid
+        # rows zeroed) as a 5th output of extract_batch*: saves the
+        # re-encode dispatch (~26 ms relay launch + compute) when matching
+        # consumes device-resident descriptors directly.
+        emit_float_desc: bool = False,
     ):
         self.backbone_name = backbone
         self.max_keypoints = max_keypoints
@@ -94,6 +99,7 @@ class ViTExtractor(BaseExtractor):
         self.pca_path = pca_path
         self.pca_fit_images = pca_fit_images
         self.transfer_format = transfer_format
+        self.emit_float_desc = emit_float_desc
 
         # Frozen inference default: the fixed-max single-pass attention
         # kernel (no backward pass needed; 1.3x over generic flash on v5e).
@@ -157,6 +163,7 @@ class ViTExtractor(BaseExtractor):
         bin_size = self.bin_size
         k_per_bin = self.k_per_bin
         k_total = self.max_keypoints
+        emit_float = self.emit_float_desc
 
         # Multi-chip: images are data-parallel over the mesh's data axis.
         # The whole per-image program (backbone incl. Pallas flash attention
@@ -226,6 +233,20 @@ class ViTExtractor(BaseExtractor):
             # descriptor_encoding="signed") — keeps negative PCA components,
             # unlike the reference's x512 clip (vit_extractor.py:243-250).
             desc_u8 = quantize_descriptors_signed(desc)
+            if emit_float:
+                # Match-ready f32 = the uint8 QUANTIZATION ROUND TRIP
+                # (decode + mask + renormalize), not the raw float desc:
+                # matching on it is bit-identical to matching the DB's
+                # uint8 descriptors (pipeline/match.py
+                # ``_decode_normalize_u8``), so the bench measures the
+                # product's match semantics while skipping its re-encode
+                # dispatch.
+                dq = desc_u8.astype(jnp.float32) / 127.5 - 1.0
+                dq = jnp.where(valid[..., None], dq, 0.0)
+                dq = dq / jnp.maximum(
+                    jnp.linalg.norm(dq, axis=-1, keepdims=True), 1e-8
+                )
+                return xy, sc, valid, desc_u8, dq
             return xy, sc, valid, desc_u8
 
         def _fused_body(replicated, images_u8):
@@ -339,7 +360,7 @@ class ViTExtractor(BaseExtractor):
         def loop(params, images, comps, mean, n):
             def body(i, acc):
                 imgs = images + i.astype(jnp.uint8)
-                _, sc, valid, desc = fused(params, imgs, comps, mean)
+                _, sc, valid, desc = fused(params, imgs, comps, mean)[:4]
                 return (
                     acc
                     + jnp.sum(sc, dtype=jnp.float32)
@@ -387,13 +408,10 @@ class ViTExtractor(BaseExtractor):
 
     def extract_batch(self, images_u8: np.ndarray):
         """(B, H, W, 3) uint8 RGB (H, W multiples of 14) ->
-        (xy grid coords, scores, valid, uint8 desc) as numpy."""
-        xy, sc, valid, desc = self.extract_batch_async(images_u8)
-        return (
-            np.asarray(xy),
-            np.asarray(sc),
-            np.asarray(valid),
-            np.asarray(desc),
+        (xy grid coords, scores, valid, uint8 desc) as numpy
+        (+ float32 match-ready desc when ``emit_float_desc``)."""
+        return tuple(
+            np.asarray(a) for a in self.extract_batch_async(images_u8)
         )
 
     def _ensure_pca(self, rgbs_sorted: list[np.ndarray]) -> None:
