@@ -104,6 +104,29 @@ def test_vit_extractor_end_to_end(tmp_path):
     db.close()
 
 
+def test_emit_float_desc_is_u8_roundtrip():
+    """emit_float_desc: the 5th output must equal the device decode of the
+    uint8 output (pipeline/match.py semantics), so matching on it is
+    bit-identical to matching the DB's descriptors."""
+    import jax.numpy as jnp
+
+    from vit_colmap_tpu.features.vit_extractor import ViTExtractor
+    from vit_colmap_tpu.pipeline.match import _decode_normalize_u8
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 70, 84, 3), dtype=np.uint8)
+    ex = ViTExtractor(backbone="vits14", max_keypoints=32, image_batch=2,
+                      emit_float_desc=True)
+    out = ex.extract_batch(imgs)
+    assert len(out) == 5
+    xy, sc, valid, desc_u8, desc_f32 = out
+    ref = np.asarray(_decode_normalize_u8(
+        jnp.asarray(desc_u8), jnp.asarray(valid), signed=True
+    ))
+    np.testing.assert_allclose(desc_f32, ref, atol=1e-6)
+    assert (desc_f32[~valid] == 0).all()
+
+
 def test_device_cache_matching_equals_db_path(tmp_path):
     """pipeline/match.py must produce identical matches whether descriptors
     come from the extractor's on-device cache or the DB round trip."""
