@@ -37,6 +37,34 @@ from vit_colmap_tpu.models.dinov2 import (
 )
 
 
+class GluedAttention(nn.Module):
+    """Attention with the softmax(QK^T)V kernel replaced by identity
+    (out = q) but EVERY surrounding op kept — qkv projection, reshapes,
+    head transposes, output transpose, out projection.  The difference
+    full − this isolates the in-model cost of the Pallas kernel alone;
+    this − nothing isolates projections + layout glue."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        from vit_colmap_tpu.models.dinov2 import _dense
+
+        c = self.cfg
+        B, N, D = x.shape
+        head_dim = c.embed_dim // c.num_heads
+        qkv = _dense(c, 3 * c.embed_dim, "qkv")(x)
+        qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = jnp.swapaxes(q, 1, 2)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        # identity "kernel" that still consumes k and v so they aren't DCE'd
+        out = q + 0.0 * (k + v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+        return _dense(c, c.embed_dim, "proj")(out)
+
+
 class AblatedBlock(nn.Module):
     """Pre-norm block with each component optionally ablated to identity."""
 
@@ -45,6 +73,7 @@ class AblatedBlock(nn.Module):
     use_mlp: bool = True
     use_ln: bool = True
     use_ls: bool = True
+    attn_glue_only: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,7 +90,9 @@ class AblatedBlock(nn.Module):
             return lambda v: v
 
         y = ln("norm1")(x)
-        if self.use_attn:
+        if self.attn_glue_only:
+            y = GluedAttention(c, name="attn")(y)
+        elif self.use_attn:
             y = Attention(c, name="attn")(y)
         x = x + ls("ls1")(y)
         y = ln("norm2")(x)
@@ -77,13 +108,14 @@ class Stack(nn.Module):
     use_mlp: bool = True
     use_ln: bool = True
     use_ls: bool = True
+    attn_glue_only: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
             x = AblatedBlock(
                 self.cfg, self.use_attn, self.use_mlp, self.use_ln,
-                self.use_ls, name=f"blocks_{i}",
+                self.use_ls, self.attn_glue_only, name=f"blocks_{i}",
             )(x)
         return x
 
@@ -145,6 +177,10 @@ def main() -> None:
     variants = {
         "full": {},
         "no_attn": {"use_attn": False},
+        # attention glue only: qkv/proj matmuls + reshapes/transposes kept,
+        # softmax(QK^T)V kernel replaced by identity — full − this = the
+        # Pallas kernel's in-model cost; this − no_attn = projections+glue.
+        "attn_glue": {"attn_glue_only": True},
         "no_mlp": {"use_mlp": False},
         "no_ln": {"use_ln": False},
         "no_ls": {"use_ls": False},
@@ -186,6 +222,11 @@ def main() -> None:
                           ("layerscale_ms", "no_ls")):
             if key in out:
                 comp[name] = round(full - out[key], 2)
+        if "attn_glue" in out and "no_attn" in out:
+            comp["attn_kernel_ms"] = round(full - out["attn_glue"], 2)
+            comp["attn_proj_glue_ms"] = round(
+                out["attn_glue"] - out["no_attn"], 2
+            )
         summary["component_cost_ms"] = comp
     print(json.dumps(summary))
 
