@@ -172,10 +172,11 @@ def run_bench(
         valid_dev = jnp.concatenate(
             [o[2] for pad, o in ex_pending], axis=0
         )[:num_images]
-        d_dev.block_until_ready()
-        t_ex = time.perf_counter() - t0
 
-        # --- matching on the retained device descriptors.
+        # --- matching on the retained device descriptors.  Dispatched
+        # BEFORE any host sync: the device queue orders matching behind the
+        # extraction programs it depends on, so the host never inserts a
+        # serialization point between the two stages.
         match_pending = []
         for s in range(0, len(pairs), pair_batch):
             chunk = pairs[s : s + pair_batch]
@@ -189,6 +190,11 @@ def run_bench(
                 jnp.take(valid_dev, jj, 0),
             )
             match_pending.append((len(chunk), compact_matches_device(out)))
+        # Extraction-materialization timestamp (taken after match dispatch,
+        # so it reports when extraction outputs were ready, not a barrier
+        # the match stage had to wait behind).
+        d_dev.block_until_ready()
+        t_ex = time.perf_counter() - t0
         # DB-bound readbacks (keypoints/scores/validity/descriptors) ride
         # the wire WHILE matching computes on device — the wire is idle
         # during match compute, so this is free pipeline overlap.  (The
