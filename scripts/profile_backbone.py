@@ -185,6 +185,9 @@ def main() -> None:
         "no_ln": {"use_ln": False},
         "no_ls": {"use_ls": False},
         "attn_xla": {},  # full stack, XLA attention (set below)
+        # full stack, packed-layout kernel (no head transposes): the
+        # candidate replacement for the attn_proj_glue_ms cost.
+        "attn_fused": {},
     }
     out = {}
     for name, ablate in variants.items():
@@ -195,6 +198,8 @@ def main() -> None:
             # Materialized (H, N, N) attention at N~9.7k exhausts HBM at
             # B=2 (queue4: RESOURCE_EXHAUSTED); B=1 is informational only.
             b = 1
+        elif name == "attn_fused":
+            c = ViTConfig.named(args.backbone, attn_impl="fixedmax_fused")
         try:
             ms = time_stack(c, depth, b, N, **ablate)
         except Exception as e:

@@ -64,6 +64,46 @@ def test_large_logits_clamped_not_nan():
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
 
 
+@pytest.mark.parametrize("n", [512, 700])
+@pytest.mark.parametrize("heads", [2, 4])
+def test_fused_qkv_matches_softmax_reference(n, heads):
+    """The packed-layout kernel must read each head's 64-lane slice of the
+    qkv Dense output in place and agree with the per-head reference."""
+    from vit_colmap_tpu.ops.pallas.attention_kernel import (
+        fixed_max_attention_qkv,
+    )
+
+    rng = np.random.default_rng(3)
+    D = 64 * heads
+    qkv = jnp.asarray(rng.standard_normal((2, n, 3 * D)), jnp.bfloat16)
+    scale = 64**-0.5
+    out = fixed_max_attention_qkv(
+        qkv, heads, scale, block_q=256, block_kv=256, interpret=True
+    )
+    assert out.shape == (2, n, D)
+    # Reference: unpack with the flax (B, N, 3, H, 64) convention.
+    q, k, v = (
+        jnp.swapaxes(qkv.reshape(2, n, 3, heads, 64)[:, :, i], 1, 2)
+        for i in range(3)
+    )
+    ref = jnp.swapaxes(_ref(q, k, v, scale), 1, 2).reshape(2, n, D)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+    assert err < 2e-2, err
+
+
+def test_fused_qkv_rejects_non64_head_dim():
+    from vit_colmap_tpu.ops.pallas.attention_kernel import (
+        fixed_max_attention_qkv,
+    )
+
+    qkv = jnp.zeros((1, 256, 3 * 96), jnp.bfloat16)  # head_dim 48
+    with pytest.raises(ValueError):
+        fixed_max_attention_qkv(qkv, 2, 0.125, interpret=True)
+    qkv = jnp.zeros((1, 256, 3 * 192), jnp.bfloat16)  # 3 heads (odd)
+    with pytest.raises(ValueError):
+        fixed_max_attention_qkv(qkv, 3, 0.125, interpret=True)
+
+
 def test_model_uses_fixedmax_config():
     """The frozen extractors request the inference kernel; training doesn't."""
     from vit_colmap_tpu.models.dinov2 import make_backbone

@@ -192,6 +192,25 @@ class Attention(nn.Module):
         B, N, D = x.shape
         head_dim = c.embed_dim // c.num_heads
         qkv = _dense(c, 3 * c.embed_dim, "qkv")(x)
+        if (
+            c.attn_impl == "fixedmax_fused"
+            and head_dim == 64
+            and c.num_heads % 2 == 0
+            and _use_flash("flash", N)
+            and N >= _FLASH_BLOCK
+        ):
+            # Packed-layout kernel: heads are addressed in place inside the
+            # qkv Dense output and the result lands directly in (B, N, D),
+            # skipping the four sublane-crossing transposes below (the
+            # ~3.8 ms/layer attention "glue" in PROFILE_BACKBONE).
+            from vit_colmap_tpu.ops.pallas.attention_kernel import (
+                fixed_max_attention_qkv,
+            )
+
+            out = fixed_max_attention_qkv(
+                qkv, c.num_heads, sm_scale=head_dim**-0.5
+            )
+            return _dense(c, c.embed_dim, "proj")(out)
         qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         # (B, H, N, d)

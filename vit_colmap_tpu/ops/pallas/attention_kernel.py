@@ -178,3 +178,157 @@ def fixed_max_attention(
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :N, :d].reshape(B, H, N, d)
+
+
+def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
+                 scale):
+    """Two heads per invocation on 128-lane blocks of the packed qkv array.
+
+    Identical math to :func:`_kernel`, unrolled over the two 64-lane head
+    slices of each block (TPU tiles are 128 lanes wide, so 128-lane blocks
+    keep every fetch tile-aligned regardless of the head's position inside
+    the 3*D-lane packed array).  The softmax scale (with log2(e) folded in)
+    is applied in VMEM — a (bq, 128) multiply per grid step, ~1/8th of the
+    exp2 work.
+    """
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q2 = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    # kv-pad column mask, shared by both heads
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (q2.shape[0], k2.shape[0]), 1
+    ) + ik * bkv
+
+    for h in (0, 1):
+        q = q2[:, 64 * h : 64 * h + 64]
+        k = k2[:, 64 * h : 64 * h + 64]
+        v = v2[:, 64 * h : 64 * h + 64]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp2(jnp.minimum(s, _CLAMP))
+        vext = jnp.concatenate(
+            [
+                v,
+                jnp.ones((v.shape[0], 1), v.dtype),
+                jnp.zeros((v.shape[0], 63), v.dtype),
+            ],
+            axis=1,
+        )
+
+        @pl.when(ik == nkv - 1)
+        def _mask(p=p, vext=vext, h=h):
+            p_masked = jnp.where(col < n_valid, p, 0.0)
+            acc_ref[:, 128 * h : 128 * h + 128] += jax.lax.dot_general(
+                p_masked.astype(jnp.bfloat16),
+                vext,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(ik < nkv - 1)
+        def _accum(p=p, vext=vext, h=h):
+            acc_ref[:, 128 * h : 128 * h + 128] += jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                vext,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ik == nkv - 1)
+    def _finish():
+        acc = acc_ref[...]
+        o_ref[0] = jnp.concatenate(
+            [
+                (acc[:, :64] / jnp.maximum(acc[:, 64:65], 1e-30)),
+                (acc[:, 128:192] / jnp.maximum(acc[:, 192:193], 1e-30)),
+            ],
+            axis=1,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "sm_scale", "block_q", "block_kv",
+                     "interpret"),
+)
+def fixed_max_attention_qkv(
+    qkv, num_heads, sm_scale, block_q=_BLOCK_Q, block_kv=_BLOCK_KV,
+    interpret=False,
+):
+    """Fused-layout fixed-max attention: (B, N, 3*D) packed qkv -> (B, N, D).
+
+    ``qkv`` is the raw output of the fused qkv Dense (lane layout
+    ``[q | k | v]``, each D = num_heads * 64 wide, head h at lanes
+    ``[64h, 64h+64)`` of its section — exactly flax's
+    ``reshape(B, N, 3, H, 64)`` convention).  Rather than materializing
+    per-head ``(B, H, N, 64)`` tensors (three sublane-crossing transposes
+    in, one out — the ~3.8 ms/layer attention "glue" in PROFILE_BACKBONE),
+    the kernel's BlockSpec index maps address each HEAD PAIR's 128-lane
+    slice of the packed array in place (128-lane blocks stay tile-aligned
+    at any head offset), and output blocks land directly in ``(B, N, D)``
+    layout for the out-projection.  MXU work is identical to
+    :func:`fixed_max_attention`; only the HBM layout traffic differs.
+
+    Requires head_dim == 64 and an even head count (vits/b/l14).
+    Inference-only (no VJP).
+    """
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    if D != num_heads * 64 or num_heads % 2:
+        raise ValueError(
+            "fixed_max_attention_qkv requires head_dim == 64 and even heads"
+        )
+    H2 = num_heads // 2
+    while block_q // 2 >= N and block_q > 256:
+        block_q //= 2
+    while block_kv // 2 >= N and block_kv > 256:
+        block_kv //= 2
+    nq = -(-N // block_q)
+    nkv = -(-N // block_kv)
+    # One padded length serves both the q and kv block grids (blocks are
+    # powers of two, so aligning to the larger also aligns the smaller).
+    L = -(-N // max(block_q, block_kv)) * max(block_q, block_kv)
+    qkv = jnp.pad(qkv, ((0, 0), (0, L - N), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel_pair, n_valid=N, bkv=block_kv, nkv=nkv,
+        scale=float(sm_scale) * LOG2E,
+    )
+    # Block column unit is 128 lanes: head pair hp of q/k/v sits at packed
+    # column hp / H2+hp / 2*H2+hp.
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H2, nq, nkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 128),
+                lambda bh, iq, ik: (bh // H2, iq, bh % H2),
+            ),
+            pl.BlockSpec(
+                (1, block_kv, 128),
+                lambda bh, iq, ik: (bh // H2, ik, H2 + bh % H2),
+            ),
+            pl.BlockSpec(
+                (1, block_kv, 128),
+                lambda bh, iq, ik: (bh // H2, ik, 2 * H2 + bh % H2),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 128), lambda bh, iq, ik: (bh // H2, iq, bh % H2)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nq * block_q, D), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, 256), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out[:, :N, :]
