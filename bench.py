@@ -34,6 +34,7 @@ def run_bench(
     pair_batch: int,
     image_batch: int = 2,
     transfer_format: str = "yuv420c4",
+    attn_impl: str = "fixedmax",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -75,6 +76,7 @@ def run_bench(
         max_keypoints=max_keypoints,
         image_batch=min(image_batch, num_images),
         transfer_format=transfer_format,
+        attn_impl=attn_impl,
         # Match-ready f32 descriptors ride out of the SAME fused program:
         # no separate re-encode dispatch between extraction and matching
         # (each dispatch costs ~25 ms of relay launch latency).
@@ -283,6 +285,7 @@ def run_bench(
         "resolution": f"{height}x{width}",
         "backbone": backbone,
         "transfer_format": ex.transfer_format,
+        "attn_impl": attn_impl,
     }
 
 
@@ -294,6 +297,8 @@ def main() -> None:
                     choices=["rgb", "yuv420", "yuv420c4"])
     ap.add_argument("--images", type=int, default=None)
     ap.add_argument("--backbone", type=str, default=None)
+    ap.add_argument("--attn-impl", type=str, default="fixedmax",
+                    choices=["fixedmax", "fixedmax_fused", "flash", "xla"])
     args = ap.parse_args()
 
     if args.tiny:
@@ -320,7 +325,8 @@ def main() -> None:
     try:
         extras = run_bench(num_images, h, w, backbone, max_kp, pair_batch,
                            image_batch=args.image_batch,
-                           transfer_format=args.transfer_format)
+                           transfer_format=args.transfer_format,
+                           attn_impl=args.attn_impl)
         import jax
 
         extras["device"] = str(jax.devices()[0])
