@@ -65,6 +65,15 @@ def build_data(work: Path, args) -> tuple[Path, Path, list[float]]:
             "model": "PINHOLE",
             "params": [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
         }))
+    elif not (scene_dir / "gt_poses.json").exists():
+        # Scene cached by a run predating gt_poses.json persistence: the
+        # renderer is seed-pinned, so re-rendering in place reproduces the
+        # identical images and restores the pose oracle.
+        print(f"Backfilling gt_poses.json for cached scene {scene_dir} ...")
+        render_multiview_scene(
+            scene_dir, n_cams=args.recon_cams,
+            size=(args.height, args.width), focal=args.focal, seed=1,
+        )
     cam = json.loads(cam_file.read_text())
     return hp_dir, scene_dir, cam["params"]
 
@@ -93,12 +102,16 @@ def eval_hpatches(hp_dir: Path, extractor: str, args, weights=None) -> dict:
 
 
 def run_reconstruction(scene_dir: Path, extractor: str, args, cam_params,
-                       weights=None) -> dict:
+                       weights=None, tag=None) -> dict:
     from vit_colmap_tpu.pipeline.run_pipeline import Pipeline
     from vit_colmap_tpu.utils.config import Config
     from vit_colmap_tpu.utils.metrics import MetricsExtractor
 
-    out = scene_dir.parent / f"out_{extractor}{'_trained' if weights else ''}"
+    # ``tag`` names the output dir after the RESULT ROW, not the extractor:
+    # the heads-only trained row and the fine-tuned row both run the
+    # trainable_vit extractor, and sharing out_trainable_vit_trained let the
+    # later run overwrite the earlier row's persisted sparse model.
+    out = scene_dir.parent / f"out_{tag or extractor}"
     db_path = out / "db.db"
     if db_path.exists():
         db_path.unlink()
@@ -383,7 +396,7 @@ def main() -> None:
         if not args.skip_recon:
             results["reconstruction"][row] = (
                 run_reconstruction(scene_dir, "trainable_vit", args,
-                                   cam_params, weights=weights)
+                                   cam_params, weights=weights, tag=row)
             )
             results["reconstruction"][row]["weights_label"] = trained_label
             persist()
@@ -403,7 +416,8 @@ def main() -> None:
             if not args.skip_recon:
                 results["reconstruction"]["vit_finetuned"] = (
                     run_reconstruction(scene_dir, "vit", args,
-                                       cam_params, weights=weights)
+                                       cam_params, weights=weights,
+                                       tag="vit_finetuned")
                 )
                 results["reconstruction"]["vit_finetuned"]["weights_label"] = (
                     fz_label

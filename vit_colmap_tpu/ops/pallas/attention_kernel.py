@@ -260,7 +260,7 @@ def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
                      "interpret"),
 )
 def fixed_max_attention_qkv(
-    qkv, num_heads, sm_scale, block_q=_BLOCK_Q, block_kv=_BLOCK_KV,
+    qkv, num_heads, sm_scale, block_q=1024, block_kv=512,
     interpret=False,
 ):
     """Fused-layout fixed-max attention: (B, N, 3*D) packed qkv -> (B, N, D).
@@ -268,7 +268,14 @@ def fixed_max_attention_qkv(
     ``qkv`` is the raw output of the fused qkv Dense (lane layout
     ``[q | k | v]``, each D = num_heads * 64 wide, head h at lanes
     ``[64h, 64h+64)`` of its section — exactly flax's
-    ``reshape(B, N, 3, H, 64)`` convention).  Rather than materializing
+    ``reshape(B, N, 3, H, 64)`` convention).
+
+    Default blocks are half of :func:`fixed_max_attention`'s: the pair
+    kernel keeps TWO heads' (block_q, block_kv) f32 logits/exp temporaries
+    plus double-width (128-lane) windows live, and at 2048x1024 Mosaic's
+    scoped-vmem bound hits 20.3M against the 16M stack limit (observed at
+    B=2, N=10240 — the headline-bench shape).  1024x512 bounds the
+    temporaries at ~4M with identical MXU work.  Rather than materializing
     per-head ``(B, H, N, 64)`` tensors (three sublane-crossing transposes
     in, one out — the ~3.8 ms/layer attention "glue" in PROFILE_BACKBONE),
     the kernel's BlockSpec index maps address each HEAD PAIR's 128-lane
