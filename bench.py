@@ -222,14 +222,9 @@ def run_bench(
     # characterizes the host<->device link's health at measurement time
     # (healthy epochs ~25 ms on this tunnel; degraded ones 3-10x that),
     # making BENCH artifacts comparable across rounds (VERDICT r3 weak 2).
-    tiny = jnp.zeros((), jnp.float32)
-    _ = (tiny + 1).block_until_ready()
-    rt = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        (tiny + 1).block_until_ready()
-        rt.append(time.perf_counter() - t0)
-    dispatch_rt_ms = min(rt) * 1e3
+    from vit_colmap_tpu.utils.profiling import relay_epoch_probe
+
+    dispatch_rt_ms = relay_epoch_probe()
 
     # Best of 5: the host<->device link in this environment is jittery
     # (same-code headline measured 21.6-29.6 pairs/s across relay epochs);
