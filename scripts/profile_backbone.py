@@ -65,6 +65,23 @@ class GluedAttention(nn.Module):
         return _dense(c, c.embed_dim, "proj")(out)
 
 
+class TanhMlp(nn.Module):
+    """Mlp with tanh-approximate GELU: isolates the exact-erf activation's
+    VPU cost inside the MLP (full - this = erf minus tanh)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        from vit_colmap_tpu.models.dinov2 import _dense
+
+        c = self.cfg
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        h = _dense(c, hidden, "fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        return _dense(c, c.embed_dim, "fc2")(h)
+
+
 class AblatedBlock(nn.Module):
     """Pre-norm block with each component optionally ablated to identity."""
 
@@ -74,6 +91,7 @@ class AblatedBlock(nn.Module):
     use_ln: bool = True
     use_ls: bool = True
     attn_glue_only: bool = False
+    mlp_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,7 +114,9 @@ class AblatedBlock(nn.Module):
             y = Attention(c, name="attn")(y)
         x = x + ls("ls1")(y)
         y = ln("norm2")(x)
-        if self.use_mlp:
+        if self.mlp_tanh:
+            y = TanhMlp(c, name="mlp")(y)
+        elif self.use_mlp:
             y = Mlp(c, name="mlp")(y)
         return x + ls("ls2")(y)
 
@@ -109,13 +129,15 @@ class Stack(nn.Module):
     use_ln: bool = True
     use_ls: bool = True
     attn_glue_only: bool = False
+    mlp_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
             x = AblatedBlock(
                 self.cfg, self.use_attn, self.use_mlp, self.use_ln,
-                self.use_ls, self.attn_glue_only, name=f"blocks_{i}",
+                self.use_ls, self.attn_glue_only, self.mlp_tanh,
+                name=f"blocks_{i}",
             )(x)
         return x
 
@@ -163,7 +185,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--tokens", type=int, default=9691)
     ap.add_argument("--depth", type=int, default=12)
-    ap.add_argument("--attn", default="fixedmax",
+    ap.add_argument("--attn", default="fixedmax_fused",
                     help="attention impl for the full stack")
     args = ap.parse_args()
 
@@ -182,12 +204,14 @@ def main() -> None:
         # Pallas kernel's in-model cost; this − no_attn = projections+glue.
         "attn_glue": {"attn_glue_only": True},
         "no_mlp": {"use_mlp": False},
+        # tanh-approximate GELU: full − this = exact-erf premium on the VPU
+        "mlp_tanh": {"mlp_tanh": True},
         "no_ln": {"use_ln": False},
         "no_ls": {"use_ls": False},
         "attn_xla": {},  # full stack, XLA attention (set below)
-        # full stack, packed-layout kernel (no head transposes): the
-        # candidate replacement for the attn_proj_glue_ms cost.
-        "attn_fused": {},
+        # full stack, transposing per-head kernel — the pre-round-5
+        # default, kept as the A/B control for the packed-layout kernel.
+        "attn_unfused": {},
     }
     out = {}
     for name, ablate in variants.items():
@@ -198,8 +222,8 @@ def main() -> None:
             # Materialized (H, N, N) attention at N~9.7k exhausts HBM at
             # B=2 (queue4: RESOURCE_EXHAUSTED); B=1 is informational only.
             b = 1
-        elif name == "attn_fused":
-            c = ViTConfig.named(args.backbone, attn_impl="fixedmax_fused")
+        elif name == "attn_unfused":
+            c = ViTConfig.named(args.backbone, attn_impl="fixedmax")
         try:
             ms = time_stack(c, depth, b, N, **ablate)
         except Exception as e:

@@ -121,6 +121,25 @@ def build_holdout(work: Path, args) -> Path:
     return ho_dir
 
 
+def build_train_tree(work: Path, args) -> Path:
+    """A LARGER synthetic tree used ONLY for training (VERDICT r4 item 6:
+    scale the fine-tune corpus).  Distinct seed from both eval trees, so
+    with ``--train-tree big`` BOTH the original hpatches tree and the
+    held-out tree are unseen by training."""
+    from vit_colmap_tpu.dataloader.synthetic_benchmark import (
+        generate_synthetic_hpatches,
+    )
+
+    tr_dir = work / "hpatches_train_big"
+    if not tr_dir.exists():
+        print(f"Generating BIG training tree at {tr_dir} ...")
+        generate_synthetic_hpatches(
+            tr_dir, n_illum=args.n_illum + 2, n_view=args.n_view + 2,
+            n_img=args.n_img + 2, size=(args.height, args.width), seed=11,
+        )
+    return tr_dir
+
+
 def eval_hpatches(hp_dir: Path, extractor: str, args, weights=None) -> dict:
     from vit_colmap_tpu.dataloader.hpatches_dataset import HPatchesDataset
 
@@ -253,7 +272,8 @@ def train_heads(hp_dir: Path, work: Path, args) -> str:
         # fine-tuned, and needs a real learning rate.
         argv += ["--train-backbone", "--latest-every", "4",
                  "--save-interval", "8",
-                 "--backbone-lr-scale", str(args.backbone_lr_scale)]
+                 "--backbone-lr-scale", str(args.backbone_lr_scale),
+                 "--lambda-token", str(args.lambda_token)]
     print(f"Training trainable head: {' '.join(argv)}")
     train_main(argv)
     best = ckpt_dir / "best_model"
@@ -279,6 +299,11 @@ def to_markdown(results: dict) -> str:
         f"Generated {time.strftime('%Y-%m-%d %H:%M')} on "
         f"{results['meta']['device']}; backbone {results['meta']['backbone']} "
         f"({results['meta']['weights_note']}).",
+        ""
+        if results["meta"].get("train_tree", "same") != "big"
+        else "\nTrained rows were trained on a DEDICATED larger tree "
+             "(seed 11): both evaluation trees below are unseen by "
+             "training.\n",
         "",
         "No pretrained DINOv2 checkpoint exists in this environment."
         " Rows labeled RANDOM backbone measure the PIPELINE"
@@ -372,6 +397,11 @@ def main() -> None:
     ap.add_argument("--backbone-lr-scale", type=float, default=0.5,
                     help="backbone LR = lr * this (from-random default 0.5; "
                          "use ~0.1 when starting from pretrained weights)")
+    ap.add_argument("--lambda-token", type=float, default=1.0,
+                    help="dense raw-token loss weight for --train-backbone")
+    ap.add_argument("--train-tree", choices=["same", "big"], default="same",
+                    help="'big' trains on a LARGER dedicated tree (seed 11) "
+                         "so both eval trees are unseen by training")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-epoch", type=int, default=25)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -419,6 +449,9 @@ def main() -> None:
             "weights_note": "random-init backbone (no pretrained weights in env)",
             "image_size": [args.height, args.width],
             "max_keypoints": args.max_keypoints,
+            # 'big' = trained on a dedicated larger tree (seed 11): BOTH
+            # eval trees below are then unseen by training.
+            "train_tree": getattr(args, "train_tree", "same"),
         },
         "hpatches": {},
         "hpatches_holdout": {},
@@ -452,7 +485,11 @@ def main() -> None:
             persist()
 
     if args.train:
-        weights = train_heads(hp_dir, work, args)
+        train_dir = (
+            build_train_tree(work, args) if args.train_tree == "big"
+            else hp_dir
+        )
+        weights = train_heads(train_dir, work, args)
         # Fine-tuned runs get their own row (and train_heads uses its own
         # checkpoint dir), so the heads-only trained row stays comparable.
         if args.train_backbone:

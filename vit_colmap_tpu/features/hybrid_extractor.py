@@ -69,7 +69,7 @@ class HybridExtractor(BaseExtractor):
 
         # Frozen inference -> fixed-max attention kernel (see vit_extractor).
         self.model, self.cfg = make_backbone(
-            backbone, dtype=dtype, attn_impl="fixedmax"
+            backbone, dtype=dtype, attn_impl="fixedmax_fused"
         )
         if weights_path and Path(weights_path).is_dir():
             # Fine-tuned backbone from an orbax --train-backbone checkpoint

@@ -46,10 +46,25 @@ class TrainableViTExtractor(BaseExtractor):
         image_batch: int = 2,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        subpixel: "bool | str" = True,
     ):
         self.num_keypoints = num_keypoints
         self.nms_radius = nms_radius
         self.detection_threshold = detection_threshold
+        # Sub-pixel localization source (VERDICT r4 item 3 geometry bisect):
+        #   "head" / True — the LEARNED offset head (reference semantics,
+        #       ``trainable_vit_extractor.py:219-229`` there);
+        #   "quad"        — training-free quadratic peak fit on the score
+        #       map (ops/detect.quadratic_refine), immune to an
+        #       under-trained offset head;
+        #   "none" / False — cell centers (diagnostic control).
+        if subpixel is True:
+            subpixel = "head"
+        elif subpixel is False:
+            subpixel = "none"
+        if subpixel not in ("head", "quad", "none"):
+            raise ValueError(f"unknown subpixel mode {subpixel!r}")
+        self.subpixel = subpixel
         # TPU-native robustness addition over the reference's bare 0.4
         # threshold (``trainable_vit_extractor.py:219-229``): when fewer
         # than ``min_keypoints`` NMS peaks clear the threshold (e.g. an
@@ -144,6 +159,7 @@ class TrainableViTExtractor(BaseExtractor):
         k_total = self.num_keypoints
         thresh = self.detection_threshold
         min_k = self.min_keypoints
+        subpixel = self.subpixel
 
         @jax.jit
         def forward(params, images_u8):
@@ -175,6 +191,14 @@ class TrainableViTExtractor(BaseExtractor):
             desc = gather(out["descriptors"])  # (B, k, D)
             # Quarter-res cell + sub-pixel offset, scaled x4 to pixels
             # (reference ``trainable_vit_extractor.py:219-229``).
+            if subpixel == "none":
+                offs = jnp.zeros_like(offs)
+            elif subpixel == "quad":
+                from vit_colmap_tpu.ops.detect import quadratic_refine
+
+                # Quadratic fit on the RAW (pre-NMS) score map at the peaks.
+                xy_int = jnp.stack([xs, ys], axis=-1)
+                offs = quadratic_refine(scores, xy_int)
             x_px = (xs + 0.5 + offs[..., 0]) * 4.0
             y_px = (ys + 0.5 + offs[..., 1]) * 4.0
             desc_u8 = jnp.clip((desc + 1.0) * 127.5, 0, 255).astype(jnp.uint8)

@@ -81,7 +81,11 @@ class ViTExtractor(BaseExtractor):
         # see ops/transfer.py.
         transfer_format: str = "rgb",
         quantize: str = "none",  # "none" | "int8" (QKVO+MLP on int8 MXU)
-        attn_impl: str = "fixedmax",  # "fixedmax" | "flash" | "xla" | "auto"
+        # "fixedmax_fused" | "fixedmax" | "flash" | "xla" | "auto" — the
+        # fused packed-qkv kernel skips the per-head transposes (115 vs
+        # 132 ms/stack in-model, round-5 sweep) and falls back to flash/XLA
+        # off-TPU or for head_dim != 64.
+        attn_impl: str = "fixedmax_fused",
         # Also emit match-ready L2-normalized float32 descriptors (invalid
         # rows zeroed) as a 5th output of extract_batch*: saves the
         # re-encode dispatch (~26 ms relay launch + compute) when matching

@@ -7,16 +7,18 @@ key-mapping + transposes; no torch modules are executed.  This environment
 has no network egress, so weights are optional: every model also runs
 random-init (shapes/pipeline identical).
 
-UNTESTED SEAM (environmental): torch and pycolmap are absent from this
-environment, so the conversion is validated only against synthetically
-generated state dicts with the public checkpoints' exact key layout
-(``tests/test_convert.py``, ``tests/test_torch_head_convert.py``) — never
-against a real downloaded DINOv2 ``.pth`` or a reference-trained
-``best_model.pt`` (``scripts/train_vit_features.py:50-68`` format).  The
-loaders are deliberately tolerant (ignore-unknown-keys, 3-layout checkpoint
-acceptance, BN folding for eval-mode heads) so first contact with real files
-degrades to warnings rather than crashes; verify patch-token parity (<=1e-4)
-against torch on first real use.
+VALIDATION STATUS: cpu torch IS present in this environment, so the
+conversion is tested against REAL ``torch.save`` checkpoints produced by
+torch modules replicating the public DINOv2 / reference-``ViTFeatureModel``
+state-dict layouts exactly, with numerical forward-output comparison
+(``tests/test_convert.py``, ``tests/test_torch_head_convert.py``).  The
+remaining untested seam is environmental: no network egress, so a real
+DOWNLOADED DINOv2 ``.pth`` or a checkpoint trained by the reference repo
+itself (``scripts/train_vit_features.py:50-68`` format) has never been
+loaded.  The loaders are deliberately tolerant (ignore-unknown-keys,
+3-layout checkpoint acceptance, BN folding for eval-mode heads) so first
+contact with such files degrades to warnings rather than crashes; verify
+patch-token parity (<=1e-4) against torch on first real use.
 """
 
 from __future__ import annotations

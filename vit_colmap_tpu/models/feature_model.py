@@ -151,7 +151,7 @@ def make_feature_model(
     descriptor_dim: int = 128,
     dtype=jnp.bfloat16,
     norm: str = "group",
-    attn_impl: str = "fixedmax",
+    attn_impl: str = "fixedmax_fused",
 ) -> tuple[ViTFeatureModel, FeatureModelConfig, ViTConfig]:
     # The backbone is frozen (stop_gradient on its output), so the
     # inference-only fixed-max attention kernel is safe for training AND

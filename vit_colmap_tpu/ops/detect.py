@@ -88,6 +88,42 @@ def select_topk_binned(
     return xy, top_scores, valid
 
 
+@jax.jit
+def quadratic_refine(scores: jax.Array, xy: jax.Array) -> jax.Array:
+    """Training-free sub-pixel peak refinement on a dense score map.
+
+    Fits a separable 1D quadratic through each peak's 3-neighborhood (the
+    classic detector refinement — SIFT's sub-pixel step
+    [ops/sift.py] does the same in scale-space; here on the trainable
+    head's score map as an alternative to the LEARNED offset head, whose
+    from-random training leaves up to ±2 px of localization noise —
+    VERDICT r4 item 3 / scripts/bisect_geometry.py).
+
+    scores: (B, H, W) RAW (pre-NMS) scores; xy: (B, K, 2) integer map
+    coordinates (x, y).  Returns (B, K, 2) offsets in [-0.5, 0.5] cells.
+    """
+    B, H, W = scores.shape
+    flat = scores.reshape(B, -1)
+    x = xy[..., 0].astype(jnp.int32)
+    y = xy[..., 1].astype(jnp.int32)
+
+    def at(dy, dx):
+        yy = jnp.clip(y + dy, 0, H - 1)
+        xx = jnp.clip(x + dx, 0, W - 1)
+        return jnp.take_along_axis(flat, yy * W + xx, axis=1)
+
+    sc = at(0, 0)
+    sl, sr = at(0, -1), at(0, 1)
+    su, sd = at(-1, 0), at(1, 0)
+
+    def off(m, c, p):
+        denom = m - 2.0 * c + p
+        d = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    return jnp.stack([off(sl, sc, sr), off(su, sc, sd)], axis=-1)
+
+
 @partial(
     jax.jit, static_argnames=("nms_radius", "bin_size", "k_per_bin", "k_total")
 )

@@ -53,10 +53,23 @@ _CLAMP = 100.0
 LOG2E = math.log2(math.e)
 
 # Block sizes: judged by IN-MODEL backbone time (scan-chained standalone
-# timings amortize the wrapper ops and mislead): q2048/kv1024 168 ms vs
-# q1024 193 ms vs q512 176 ms per vitb14 2-image forward on v5e.
+# timings amortize the wrapper ops and mislead).  Round-5 sweep on v5e at
+# B=2/N=9691 (scripts/attn_sweep_r5.py): larger kv blocks need Mosaic's
+# scoped-vmem limit raised past the 16M default (the (bq, bkv) f32
+# probability block is the dominant temporary); 40 MB is comfortably
+# inside v5e VMEM and q2048/kv2048 wins both families — unfused 130.1 vs
+# 131.8 ms/stack in-model, fused 115.0 vs 117.0 (and vs 133.4 for the
+# round-4 branched kernel at the same shape).
+# Module-level tunables: the public wrappers resolve None block args from
+# these BEFORE jit, so sweeps can re-tune without threading block sizes
+# through every caller.
 _BLOCK_Q = 2048
-_BLOCK_KV = 1024
+_BLOCK_KV = 2048
+_VMEM_MB = 40
+# Fused (packed-qkv) kernel tunables.
+_BLOCK_Q_FUSED = 2048
+_BLOCK_KV_FUSED = 2048
+_VMEM_MB_FUSED = 40
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
@@ -75,42 +88,28 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     # No max subtraction: numerator and denominator share any constant
     # factor 2^-c, so it cancels in acc/denom.  The clamp alone guards
     # fp32 overflow (exp2(100)*N*|v| < 2^128 for realistic activations).
-    p = jnp.exp2(jnp.minimum(s, _CLAMP))
+    p = jnp.exp2(jnp.minimum(s, _CLAMP)).astype(jnp.bfloat16)
 
-    # [V | 1 | 0] built per block IN VMEM (a (bkv, 128) copy — building it
-    # host-side materialized a full (BH, N, 128) HBM tensor per call,
-    # ~5 ms/layer of wrapper traffic).  ones at col 64 -> the PV matmul
-    # accumulates the softmax denominator in acc[:, 64] for free.
+    # [V | 1(valid) | 0] built per block IN VMEM (a (bkv, 128) copy —
+    # building it host-side materialized a full (BH, N, 128) HBM tensor per
+    # call, ~5 ms/layer of wrapper traffic).  The validity column at col 64
+    # makes the PV matmul accumulate the softmax denominator in acc[:, 64]
+    # for free — and masking THAT column by kv-row validity (a (bkv, 1)
+    # compare) replaces masking the whole (bq, bkv) probability block: pad
+    # kv rows have v == 0 so their p contributes nothing to the numerator,
+    # and the zeroed validity entry keeps them out of the denominator.
+    # Exact, branchless, and one live p instead of two pl.when bodies.
     v = v_ref[0]          # (bkv, 64) bf16
+    row = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0) + ik * bkv
+    valid = (row < n_valid).astype(v.dtype)
     vext = jnp.concatenate(
-        [
-            v,
-            jnp.ones((v.shape[0], 1), v.dtype),
-            jnp.zeros((v.shape[0], 63), v.dtype),
-        ],
-        axis=1,
+        [v, valid, jnp.zeros((v.shape[0], 63), v.dtype)], axis=1
     )
 
-    # Mask kv pad columns (only the last block contains any).
-    @pl.when(ik == nkv - 1)
-    def _mask():
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + ik * bkv
-        p_masked = jnp.where(col < n_valid, p, 0.0)
-        acc_ref[...] += jax.lax.dot_general(
-            p_masked.astype(jnp.bfloat16),
-            vext,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(ik < nkv - 1)
-    def _accum():
-        acc_ref[...] += jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            vext,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    acc_ref[...] += jax.lax.dot_general(
+        p, vext, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(ik == nkv - 1)
     def _finish():
@@ -119,19 +118,35 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
         o_ref[0] = (acc[:, :64] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_q", "block_kv", "interpret")
-)
 def fixed_max_attention(
-    q, k, v, sm_scale, block_q=_BLOCK_Q, block_kv=_BLOCK_KV, interpret=False
+    q, k, v, sm_scale, block_q=None, block_kv=None, vmem_limit_mb=None,
+    interpret=False,
 ):
     """Non-causal single-pass attention, (B, H, N, <=64) -> same shape.
 
     Exact softmax up to fp32 exp2 rounding for logits below the overflow
     clamp.  Inference only (no VJP); ``interpret=True`` runs the Pallas
     interpreter for hardware-independent tests (repo convention, see
-    ``match_kernel.py``).
+    ``match_kernel.py``).  ``block_q``/``block_kv`` default to the
+    module-level tunables, resolved pre-jit.
     """
+    return _fixed_max_attention(
+        q, k, v, sm_scale,
+        block_q or _BLOCK_Q, block_kv or _BLOCK_KV,
+        vmem_limit_mb if vmem_limit_mb is not None else _VMEM_MB,
+        interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "block_q", "block_kv", "vmem_limit_mb", "interpret"
+    ),
+)
+def _fixed_max_attention(
+    q, k, v, sm_scale, block_q, block_kv, vmem_limit_mb, interpret
+):
     B, H, N, d = q.shape
     if d > 64:
         raise ValueError("fixed_max_attention is specialized for head_dim <= 64")
@@ -174,22 +189,30 @@ def fixed_max_attention(
         scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **(
+                {"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+                if vmem_limit_mb
+                else {}
+            ),
         ),
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :N, :d].reshape(B, H, N, d)
 
 
-def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
-                 scale):
+def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv):
     """Two heads per invocation on 128-lane blocks of the packed qkv array.
 
     Identical math to :func:`_kernel`, unrolled over the two 64-lane head
     slices of each block (TPU tiles are 128 lanes wide, so 128-lane blocks
     keep every fetch tile-aligned regardless of the head's position inside
     the 3*D-lane packed array).  The softmax scale (with log2(e) folded in)
-    is applied in VMEM — a (bq, 128) multiply per grid step, ~1/8th of the
-    exp2 work.
+    is prefolded into the q lanes by the wrapper — one fused multiply on
+    the packed array instead of one per grid step.  Pad kv rows are handled
+    by the masked validity column (see :func:`_kernel`): branchless, one
+    live p per head instead of two pl.when bodies — the duplicated-branch
+    temporaries are what pushed 2048x1024 blocks past Mosaic's 16M
+    scoped-vmem bound in round 4.
     """
     ik = pl.program_id(2)
 
@@ -197,13 +220,12 @@ def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q2 = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    q2 = q_ref[0]
     k2 = k_ref[0]
     v2 = v_ref[0]
-    # kv-pad column mask, shared by both heads
-    col = jax.lax.broadcasted_iota(
-        jnp.int32, (q2.shape[0], k2.shape[0]), 1
-    ) + ik * bkv
+    row = jax.lax.broadcasted_iota(jnp.int32, (k2.shape[0], 1), 0) + ik * bkv
+    valid = (row < n_valid).astype(v2.dtype)
+    zeros63 = jnp.zeros((v2.shape[0], 63), v2.dtype)
 
     for h in (0, 1):
         q = q2[:, 64 * h : 64 * h + 64]
@@ -213,34 +235,12 @@ def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p = jnp.exp2(jnp.minimum(s, _CLAMP))
-        vext = jnp.concatenate(
-            [
-                v,
-                jnp.ones((v.shape[0], 1), v.dtype),
-                jnp.zeros((v.shape[0], 63), v.dtype),
-            ],
-            axis=1,
+        p = jnp.exp2(jnp.minimum(s, _CLAMP)).astype(jnp.bfloat16)
+        vext = jnp.concatenate([v, valid, zeros63], axis=1)
+        acc_ref[:, 128 * h : 128 * h + 128] += jax.lax.dot_general(
+            p, vext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-
-        @pl.when(ik == nkv - 1)
-        def _mask(p=p, vext=vext, h=h):
-            p_masked = jnp.where(col < n_valid, p, 0.0)
-            acc_ref[:, 128 * h : 128 * h + 128] += jax.lax.dot_general(
-                p_masked.astype(jnp.bfloat16),
-                vext,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        @pl.when(ik < nkv - 1)
-        def _accum(p=p, vext=vext, h=h):
-            acc_ref[:, 128 * h : 128 * h + 128] += jax.lax.dot_general(
-                p.astype(jnp.bfloat16),
-                vext,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
 
     @pl.when(ik == nkv - 1)
     def _finish():
@@ -254,14 +254,30 @@ def _kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, *, n_valid, bkv, nkv,
         ).astype(o_ref.dtype)
 
 
+def fixed_max_attention_qkv(
+    qkv, num_heads, sm_scale, block_q=None, block_kv=None,
+    vmem_limit_mb=None, interpret=False,
+):
+    """Fused-layout fixed-max attention: (B, N, 3*D) packed qkv -> (B, N, D).
+
+    Thin pre-jit wrapper resolving block/vmem defaults from the module
+    tunables; see :func:`_fixed_max_attention_qkv` for the semantics.
+    """
+    return _fixed_max_attention_qkv(
+        qkv, num_heads, sm_scale,
+        block_q or _BLOCK_Q_FUSED, block_kv or _BLOCK_KV_FUSED,
+        vmem_limit_mb if vmem_limit_mb is not None else _VMEM_MB_FUSED,
+        interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "sm_scale", "block_q", "block_kv",
-                     "interpret"),
+                     "vmem_limit_mb", "interpret"),
 )
-def fixed_max_attention_qkv(
-    qkv, num_heads, sm_scale, block_q=1024, block_kv=512,
-    interpret=False,
+def _fixed_max_attention_qkv(
+    qkv, num_heads, sm_scale, block_q, block_kv, vmem_limit_mb, interpret
 ):
     """Fused-layout fixed-max attention: (B, N, 3*D) packed qkv -> (B, N, D).
 
@@ -270,19 +286,18 @@ def fixed_max_attention_qkv(
     ``[64h, 64h+64)`` of its section — exactly flax's
     ``reshape(B, N, 3, H, 64)`` convention).
 
-    Default blocks are half of :func:`fixed_max_attention`'s: the pair
-    kernel keeps TWO heads' (block_q, block_kv) f32 logits/exp temporaries
-    plus double-width (128-lane) windows live, and at 2048x1024 Mosaic's
-    scoped-vmem bound hits 20.3M against the 16M stack limit (observed at
-    B=2, N=10240 — the headline-bench shape).  1024x512 bounds the
-    temporaries at ~4M with identical MXU work.  Rather than materializing
-    per-head ``(B, H, N, 64)`` tensors (three sublane-crossing transposes
-    in, one out — the ~3.8 ms/layer attention "glue" in PROFILE_BACKBONE),
-    the kernel's BlockSpec index maps address each HEAD PAIR's 128-lane
-    slice of the packed array in place (128-lane blocks stay tile-aligned
-    at any head offset), and output blocks land directly in ``(B, N, D)``
-    layout for the out-projection.  MXU work is identical to
-    :func:`fixed_max_attention`; only the HBM layout traffic differs.
+    Rather than materializing per-head ``(B, H, N, 64)`` tensors (three
+    sublane-crossing transposes in, one out — the attention "glue" in
+    PROFILE_BACKBONE), the kernel's BlockSpec index maps address each HEAD
+    PAIR's 128-lane slice of the packed array in place (128-lane blocks
+    stay tile-aligned at any head offset), and output blocks land directly
+    in ``(B, N, D)`` layout for the out-projection.  MXU work is identical
+    to :func:`fixed_max_attention`; only the HBM layout traffic differs.
+    In-model on v5e at the pipeline shape this is 115.0 ms per vitb14
+    stack vs 131.8 for the transposing fixedmax path (round-5 sweep).
+    The 2048x2048 default blocks keep one (bq, bkv) f32 probability block
+    live per head (~16M) and need the raised vmem limit in the module
+    tunables; Mosaic's default 16M bound only fits ~1024x512.
 
     Requires head_dim == 64 and an even head count (vits/b/l14).
     Inference-only (no VJP).
@@ -303,11 +318,20 @@ def fixed_max_attention_qkv(
     # One padded length serves both the q and kv block grids (blocks are
     # powers of two, so aligning to the larger also aligns the smaller).
     L = -(-N // max(block_q, block_kv)) * max(block_q, block_kv)
+    # Prefold the softmax scale (and exp->exp2) into the q lanes: a single
+    # lane-broadcast multiply XLA fuses with the pad, replacing a per-grid-
+    # step multiply inside the kernel.
+    lane_scale = jnp.concatenate(
+        [
+            jnp.full((D,), float(sm_scale) * LOG2E, jnp.float32),
+            jnp.ones((2 * D,), jnp.float32),
+        ]
+    )
+    qkv = (qkv.astype(jnp.float32) * lane_scale).astype(qkv.dtype)
     qkv = jnp.pad(qkv, ((0, 0), (0, L - N), (0, 0)))
 
     kernel = functools.partial(
         _kernel_pair, n_valid=N, bkv=block_kv, nkv=nkv,
-        scale=float(sm_scale) * LOG2E,
     )
     # Block column unit is 128 lanes: head pair hp of q/k/v sits at packed
     # column hp / H2+hp / 2*H2+hp.
@@ -335,6 +359,11 @@ def fixed_max_attention_qkv(
         scratch_shapes=[pltpu.VMEM((block_q, 256), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **(
+                {"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+                if vmem_limit_mb
+                else {}
+            ),
         ),
         interpret=interpret,
     )(qkv, qkv, qkv)
