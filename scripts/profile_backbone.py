@@ -65,23 +65,6 @@ class GluedAttention(nn.Module):
         return _dense(c, c.embed_dim, "proj")(out)
 
 
-class TanhMlp(nn.Module):
-    """Mlp with tanh-approximate GELU: isolates the exact-erf activation's
-    VPU cost inside the MLP (full - this = erf minus tanh)."""
-
-    cfg: ViTConfig
-
-    @nn.compact
-    def __call__(self, x):
-        from vit_colmap_tpu.models.dinov2 import _dense
-
-        c = self.cfg
-        hidden = int(c.embed_dim * c.mlp_ratio)
-        h = _dense(c, hidden, "fc1")(x)
-        h = nn.gelu(h, approximate=True)
-        return _dense(c, c.embed_dim, "fc2")(h)
-
-
 class AblatedBlock(nn.Module):
     """Pre-norm block with each component optionally ablated to identity."""
 
@@ -91,7 +74,6 @@ class AblatedBlock(nn.Module):
     use_ln: bool = True
     use_ls: bool = True
     attn_glue_only: bool = False
-    mlp_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,9 +96,7 @@ class AblatedBlock(nn.Module):
             y = Attention(c, name="attn")(y)
         x = x + ls("ls1")(y)
         y = ln("norm2")(x)
-        if self.mlp_tanh:
-            y = TanhMlp(c, name="mlp")(y)
-        elif self.use_mlp:
+        if self.use_mlp:
             y = Mlp(c, name="mlp")(y)
         return x + ls("ls2")(y)
 
@@ -129,14 +109,13 @@ class Stack(nn.Module):
     use_ln: bool = True
     use_ls: bool = True
     attn_glue_only: bool = False
-    mlp_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
             x = AblatedBlock(
                 self.cfg, self.use_attn, self.use_mlp, self.use_ln,
-                self.use_ls, self.attn_glue_only, self.mlp_tanh,
+                self.use_ls, self.attn_glue_only,
                 name=f"blocks_{i}",
             )(x)
         return x
@@ -204,8 +183,9 @@ def main() -> None:
         # Pallas kernel's in-model cost; this − no_attn = projections+glue.
         "attn_glue": {"attn_glue_only": True},
         "no_mlp": {"use_mlp": False},
-        # tanh-approximate GELU: full − this = exact-erf premium on the VPU
-        "mlp_tanh": {"mlp_tanh": True},
+        # exact-erf GELU control (tanh-approx became the model default in
+        # r5): this − full = what the erf form costs on the VPU.
+        "mlp_erf": {},
         "no_ln": {"use_ln": False},
         "no_ls": {"use_ls": False},
         "attn_xla": {},  # full stack, XLA attention (set below)
@@ -217,7 +197,10 @@ def main() -> None:
     for name, ablate in variants.items():
         c = cfg
         b = B
-        if name == "attn_xla":
+        if name == "mlp_erf":
+            c = ViTConfig.named(args.backbone, attn_impl=args.attn,
+                                gelu="erf")
+        elif name == "attn_xla":
             c = ViTConfig.named(args.backbone, attn_impl="xla")
             # Materialized (H, N, N) attention at N~9.7k exhausts HBM at
             # B=2 (queue4: RESOURCE_EXHAUSTED); B=1 is informational only.
@@ -256,6 +239,8 @@ def main() -> None:
             comp["attn_proj_glue_ms"] = round(
                 out["attn_glue"] - out["no_attn"], 2
             )
+        if "mlp_erf" in out:
+            comp["gelu_erf_premium_ms"] = round(out["mlp_erf"] - full, 2)
         summary["component_cost_ms"] = comp
     print(json.dumps(summary))
 

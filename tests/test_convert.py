@@ -86,7 +86,7 @@ def test_converted_weights_match_torch_forward():
 
     cfg = ViTConfig(
         embed_dim=32, depth=2, num_heads=2, pretrain_grid=grid,
-        dtype=np.float32,
+        dtype=np.float32, gelu="erf",  # strict parity vs torch nn.GELU
     )
     params = torch_dinov2_to_flax(tm.state_dict(), cfg)
     fm = DinoV2(cfg)
@@ -140,7 +140,9 @@ def test_full_dim_vits14_conversion_end_to_end(tmp_path):
     from vit_colmap_tpu.models.convert import load_torch_checkpoint
     from vit_colmap_tpu.models.dinov2 import ViTConfig
 
-    cfg = ViTConfig.named("vits14", pretrain_grid=grid, dtype=np.float32)
+    cfg = ViTConfig.named(
+        "vits14", pretrain_grid=grid, dtype=np.float32, gelu="erf",
+    )
     params = load_torch_checkpoint(str(path), cfg)
     fm = DinoV2(cfg)
 

@@ -49,6 +49,42 @@ def test_detect_keypoints_valid_mask():
     assert valid[1].sum() == 2
 
 
+def test_soft_nms_fills_budget_maxima_first():
+    # A smooth bump: ONE strict local maximum, many positive non-maxima.
+    # Hard NMS yields exactly 1 keypoint; soft mode must fill the budget
+    # while still ranking the true maximum first (VERDICT r4 item 4:
+    # maxima-starved token grids dropped below COLMAP's init floor).
+    yy, xx = np.mgrid[0:16, 0:16].astype(np.float32)
+    s = np.exp(-((xx - 8) ** 2 + (yy - 8) ** 2) / 40.0)[None]
+
+    xy_h, sc_h, v_h = detect_keypoints(s, nms_radius=1, k_total=16)
+    assert np.asarray(v_h)[0].sum() == 1
+
+    xy_s, sc_s, v_s = detect_keypoints(
+        s, nms_radius=1, k_total=16, nms_mode="soft"
+    )
+    xy_s, sc_s, v_s = np.asarray(xy_s), np.asarray(sc_s), np.asarray(v_s)
+    assert v_s[0].sum() == 16  # budget filled
+    assert tuple(xy_s[0, 0].astype(int)) == (8, 8)  # maximum ranked first
+    assert sc_s[0, 0] > 1.0  # lifted above every non-maximum
+    assert (sc_s[0, 1:] < 1.0).all()
+
+
+def test_soft_nms_equals_hard_when_maxima_plentiful():
+    # 4 well-separated peaks on a zero background, budget of 4: the soft
+    # selection must be exactly the hard one (fill only kicks in when
+    # maxima are scarce).
+    s = np.zeros((1, 16, 16), np.float32)
+    for i, (y, x) in enumerate([(2, 2), (2, 12), (12, 2), (12, 12)]):
+        s[0, y, x] = 1.0 - 0.1 * i
+    xy_h, _, v_h = detect_keypoints(s, nms_radius=1, k_total=4)
+    xy_s, _, v_s = detect_keypoints(s, nms_radius=1, k_total=4,
+                                    nms_mode="soft")
+    pts_h = {tuple(p) for p in np.asarray(xy_h)[0][np.asarray(v_h)[0]].astype(int)}
+    pts_s = {tuple(p) for p in np.asarray(xy_s)[0][np.asarray(v_s)[0]].astype(int)}
+    assert pts_h == pts_s == {(2, 2), (12, 2), (2, 12), (12, 12)}
+
+
 def test_bilinear_sample_exact_and_midpoint():
     fmap = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
     pts = np.array([[1.0, 1.0], [1.5, 1.0], [0.0, 3.0]], np.float32)

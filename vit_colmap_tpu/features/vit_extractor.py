@@ -70,6 +70,18 @@ class ViTExtractor(BaseExtractor):
         descriptor_dim: int = 128,
         saliency: str = "combined",
         nms_radius: int = 1,
+        # "soft" ranks local maxima first but lets spread non-maxima fill
+        # the keypoint budget — hard NMS on the coarse token grid yields
+        # only ~100-150 strict maxima at 480x640 (34x45 tokens), which
+        # starved wide-baseline scenes below COLMAP's 30-inlier init floor
+        # (VERDICT r4 item 4).  See ops/detect.detect_keypoints.
+        nms_mode: str = "soft",
+        # Sub-token peak localization: separable quadratic fit through each
+        # keypoint's 3x3 saliency neighborhood (ops/detect.quadratic_refine)
+        # — at patch 14 a half-cell miss is ~7 px, the dominant term in the
+        # frozen path's 2.0 deg pose error (RECON_VIT_r4).  Descriptors are
+        # bilinearly sampled at the refined coordinates.
+        refine: bool = True,
         bin_size: int = 2,
         k_per_bin: int = 4,
         image_batch: int = 4,
@@ -97,6 +109,8 @@ class ViTExtractor(BaseExtractor):
         self.descriptor_dim = descriptor_dim
         self.saliency = saliency
         self.nms_radius = nms_radius
+        self.nms_mode = nms_mode
+        self.refine = refine
         self.bin_size = bin_size
         self.k_per_bin = k_per_bin
         self.image_batch = image_batch
@@ -164,6 +178,8 @@ class ViTExtractor(BaseExtractor):
         model = self.model
         saliency = self.saliency
         nms_radius = self.nms_radius
+        nms_mode = self.nms_mode
+        refine = self.refine
         bin_size = self.bin_size
         k_per_bin = self.k_per_bin
         k_total = self.max_keypoints
@@ -229,7 +245,12 @@ class ViTExtractor(BaseExtractor):
                 bin_size=bin_size,
                 k_per_bin=k_per_bin,
                 k_total=k_total,
+                nms_mode=nms_mode,
             )
+            if refine:
+                from vit_colmap_tpu.ops.detect import quadratic_refine
+
+                xy = xy + quadratic_refine(scores, xy)
             desc = bilinear_sample_batched(fmap.astype(jnp.float32), xy)
             desc = apply_pca(desc, pca_comps, pca_mean)
             desc = l2_normalize(desc)

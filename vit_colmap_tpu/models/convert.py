@@ -100,6 +100,15 @@ def load_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
     """Load a ``.pt``/``.pth`` DINOv2 checkpoint file and convert."""
     import torch
 
+    if cfg.gelu != "erf":
+        logger.warning(
+            "Loading torch weights into a cfg with gelu=%r; torch nn.GELU "
+            "is the exact erf form. Pass gelu='erf' for strict numerical "
+            "parity with the source model (tanh-approx deviates ~1e-3 per "
+            "activation; fine for matching, not for parity checks).",
+            cfg.gelu,
+        )
+
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model" in sd:
         sd = sd["model"]

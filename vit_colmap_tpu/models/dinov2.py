@@ -66,6 +66,16 @@ class ViTConfig:
     # the frozen extractors, NOT differentiable, falls back to flash/XLA
     # off-TPU or for head_dim > 64.
     attn_impl: str = "auto"
+    # MLP activation: "tanh" (tanh-approximate GELU) | "erf" (exact, what
+    # torch nn.GELU computes).  The exact erf costs ~12 ms/stack at the
+    # pipeline shape on v5e (PROFILE_BACKBONE_r5 mlp_tanh ablation:
+    # 115.0 -> 103.1 ms) because erf is a long VPU polynomial while tanh
+    # rides the fast rational approximation.  In-env models are trained
+    # AND served with the same activation, so "tanh" is self-consistent;
+    # set "erf" when loading public torch DINOv2 checkpoints for strict
+    # numerical parity with the reference
+    # (/root/reference/vit_colmap/features/vit_extractor.py:135).
+    gelu: str = "tanh"
 
     @classmethod
     def named(cls, name: str, **overrides) -> "ViTConfig":
@@ -255,7 +265,7 @@ class Mlp(nn.Module):
             h = nn.silu(x1) * x2
             return _dense(c, c.embed_dim, "w3")(h)
         h = _dense(c, hidden, "fc1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=(c.gelu != "erf"))
         return _dense(c, c.embed_dim, "fc2")(h)
 
 
