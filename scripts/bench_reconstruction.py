@@ -37,6 +37,10 @@ def main() -> None:
                     help="score-ranked trainable-ViT SfM keypoint budget "
                          "(default 4096; 0 = reference's 20480)")
     ap.add_argument("--work-dir", type=Path, default=None)
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="disable the background verification-program "
+                         "prewarm during extraction (A/B for relay upload "
+                         "vs dispatch serialization)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     if args.tiny:
@@ -73,6 +77,8 @@ def main() -> None:
         config.extractor.sfm_max_keypoints = args.sfm_max_keypoints
     config.camera.model = "PINHOLE"
     config.camera.params = [float(p) for p in cam_params]
+    if args.no_prewarm:
+        config.matching.verification_prewarm = False
 
     db_path = work / "db.db"
     if db_path.exists():
@@ -89,6 +95,18 @@ def main() -> None:
     pipe.run(image_dir, work / "out", db_path)
     wall = time.perf_counter() - t0
     rt_after_ms = relay_epoch_probe()
+
+    # Per-stage split in the artifact itself: the round-5 804 s run hid a
+    # 636 s extraction stage behind a healthy-looking total until the log
+    # was read by hand (match+verify 65 s and mapping 103 s were both
+    # round-best).  GLOBAL_TIMER accumulates across runs in-process, but
+    # each bench invocation is a fresh process, so totals == this run.
+    from vit_colmap_tpu.utils.profiling import GLOBAL_TIMER
+
+    stages = {
+        name: round(v["seconds"], 2)
+        for name, v in GLOBAL_TIMER.to_dict().items()
+    }
 
     registered = points3d = observations = 0
     reproj = 0.0
@@ -145,6 +163,8 @@ def main() -> None:
         "pose_center_err_rel": round(pose["pose_center_err_rel_mean"], 5) if pose else None,
         "pose_center_err_rel_max": round(pose["pose_center_err_rel_max"], 5) if pose else None,
         "aligned_cameras": pose["aligned_cameras"] if pose else 0,
+        "stage_s": stages,
+        "verification_prewarm": not args.no_prewarm,
         "dispatch_rt_ms_before": round(rt_before_ms, 2),
         "dispatch_rt_ms_after": round(rt_after_ms, 2),
         "resolution": f"{args.height}x{args.width}",

@@ -17,6 +17,7 @@ Prints one JSON line (record_bench-compatible).
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -28,6 +29,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--uint8", action="store_true",
+                    help="uint8 wire inputs — the EXACT program "
+                         "SiftExtractor dispatches in the recon pipeline "
+                         "(float32 is a different executable)")
+    args = ap.parse_args()
+
     from vit_colmap_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -37,8 +47,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     times = []
-    for i in range(4):
-        gray = rng.random((2, 480, 640), np.float32) * (0.5 + 0.1 * i)
+    for i in range(args.reps):
+        gray = rng.random((args.batch, 480, 640), np.float32) * (0.5 + 0.1 * i)
+        if args.uint8:
+            gray = (gray * 255).astype(np.uint8)
         t0 = time.perf_counter()
         kp, _ = extract_sift(
             gray, max_keypoints=2048, num_octaves=4,
@@ -54,7 +66,9 @@ def main() -> None:
         "value": round(times[0] - min(times[1:]), 2),
         "unit": "s",
         "dispatch_times_s": times,
-        "program": "fused SIFT extraction (2, 480, 640)",
+        "dispatch_steady_s": round(min(times[1:]), 2),
+        "program": f"fused SIFT extraction ({args.batch}, 480, 640) "
+                   f"{'uint8' if args.uint8 else 'f32'}",
         "device": str(jax.devices()[0]),
     }))
 

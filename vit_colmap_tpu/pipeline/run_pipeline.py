@@ -157,6 +157,7 @@ class Pipeline:
         if (
             self.config.do_matching
             and self.config.matching.do_verification
+            and getattr(self.config.matching, "verification_prewarm", True)
             and jax.default_backend() not in ("cpu", "gpu")
         ):
             from vit_colmap_tpu.ops.ransac import prewarm_two_view_program

@@ -103,6 +103,13 @@ class MatchingConfig:
     # measured ~13% faster than 32 on hardest-batch profiles (finer
     # early-exit granularity; results/VERIF_HARD_r3.json).
     five_point_chunk: int = 16
+    # Background-compile + first-dispatch the verification programs during
+    # extraction (ops/ransac.py:prewarm_two_view_program).  On the relay the
+    # executable upload is 76-105 s per program; prewarming hides it under
+    # extraction UNLESS the relay serializes uploads with dispatches — the
+    # off switch exists to A/B exactly that (round-5 SIFT extraction at
+    # 480x640 ran 6x slower than the same code in round 3).
+    verification_prewarm: bool = True
 
 
 @dataclass
